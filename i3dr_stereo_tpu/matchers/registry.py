@@ -1,0 +1,185 @@
+"""The six matcher backends, keyed by the reference's algorithm enum.
+
+Reference backends (include/stereoMatcher/*.h) -> TPU-native equivalents:
+
+| enum | reference                          | here                                |
+|------|------------------------------------|-------------------------------------|
+| 0    | MatcherOpenCVBlock (cv::StereoBM)  | bm_match — SAD block matching       |
+| 1    | MatcherOpenCVSGBM (cv::StereoSGBM) | sgbm_match — BT + 8/5-path SGM      |
+| 2    | MatcherI3DRSGM (Phobos engine)     | i3drsgm_match — census pyramid SGM  |
+| 3    | MatcherOpenCVBlockCuda             | bm_match (device-resident anyway)   |
+| 4    | MatcherOpenCVBPCuda                | bp_match — hierarchical min-sum BP  |
+| 5    | MatcherOpenCVCSBPCuda              | csbp_match — coarse-to-fine BP      |
+
+All are pure jittable functions (H, W)|(B, H, W) float32 -> MatchResult.
+On TPU there is no "CPU vs CUDA" split — enum 0 and 3 share one kernel,
+which is exactly what the reference's GPU backends were approximating.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from i3dr_stereo_tpu.config.params import Algorithm, CostFunction, MatcherConfig
+from i3dr_stereo_tpu.matchers.base import MatchResult
+from i3dr_stereo_tpu.ops import (
+    box_aggregate,
+    bt_cost_volume,
+    census_cost_volume,
+    census_transform,
+    lr_consistency,
+    sad_cost_volume,
+    sgm_aggregate,
+    speckle_filter,
+    wta_disparity,
+    xsobel_prefilter,
+)
+from i3dr_stereo_tpu.ops.cost import texture_response
+from i3dr_stereo_tpu.ops.median import median3x3_masked
+from i3dr_stereo_tpu.ops.sgm import DIRECTIONS_4, DIRECTIONS_5, DIRECTIONS_8
+from i3dr_stereo_tpu.ops.wls import wls_fill
+
+
+def _batched(img: jax.Array) -> tuple[jax.Array, bool]:
+    return (img, True) if img.ndim == 3 else (img[None], False)
+
+
+def _unbatch(res: MatchResult, batched: bool) -> MatchResult:
+    if batched:
+        return res
+    return MatchResult(disparity=res.disparity[0], valid=res.valid[0])
+
+
+def _directions(cfg: MatcherConfig):
+    return {4: DIRECTIONS_4, 5: DIRECTIONS_5, 8: DIRECTIONS_8}[cfg.num_directions]
+
+
+def _cost_volume(left, right, cfg: MatcherConfig):
+    """Pixel costs by configured cost function, pre-aggregation."""
+    if cfg.cost == CostFunction.CENSUS:
+        cl = census_transform(left, cfg.census_height, cfg.census_width)
+        cr = census_transform(right, cfg.census_height, cfg.census_width)
+        return census_cost_volume(cl, cr, cfg.min_disparity, cfg.disparity_range)
+    if cfg.cost == CostFunction.BT:
+        lf = xsobel_prefilter(left, cfg.prefilter_cap)
+        rf = xsobel_prefilter(right, cfg.prefilter_cap)
+        return bt_cost_volume(lf, rf, cfg.min_disparity, cfg.disparity_range)
+    lf = xsobel_prefilter(left, cfg.prefilter_cap)
+    rf = xsobel_prefilter(right, cfg.prefilter_cap)
+    return sad_cost_volume(lf, rf, cfg.min_disparity, cfg.disparity_range)
+
+
+def _postprocess(disp, valid, S, cfg: MatcherConfig, left):
+    """Shared post-match chain: LR check, speckle, median, hole fill."""
+    if cfg.disp12_max_diff >= 0 and cfg.algorithm != Algorithm.BM:
+        disp, valid = lr_consistency(disp, valid, S, cfg.min_disparity,
+                                     float(cfg.disp12_max_diff) if cfg.disp12_max_diff > 0 else 1.0)
+    if cfg.speckle_size > 0:
+        valid = speckle_filter(disp, valid, max_size=cfg.speckle_size,
+                               max_diff=float(cfg.speckle_range))
+    if cfg.median_filter:
+        disp = median3x3_masked(disp, valid)
+    if cfg.interp or cfg.interpolate_missing:
+        disp, valid = wls_fill(disp, valid, left)
+    return disp, valid
+
+
+def bm_match(left, right, cfg: MatcherConfig) -> MatchResult:
+    """Block matching (cv::StereoBM semantics, matcherOpenCVBlock.cpp):
+    x-Sobel prefilter, SAD over the correlation window, WTA with
+    texture + uniqueness checks, speckle filter, x16-grade subpixel."""
+    l, batched = _batched(left)
+    r = right if right.ndim == 3 else right[None]
+    pref_l = xsobel_prefilter(l, cfg.prefilter_cap)
+    pref_r = xsobel_prefilter(r, cfg.prefilter_cap)
+    C, valid_cv = sad_cost_volume(pref_l, pref_r, cfg.min_disparity, cfg.disparity_range)
+    S = box_aggregate(C, valid_cv, cfg.window_size)
+    disp, valid = wta_disparity(S, cfg.min_disparity,
+                                uniqueness_ratio=float(cfg.uniqueness_ratio),
+                                subpixel=cfg.subpixel)
+    if cfg.texture_threshold > 0:
+        tex = texture_response(pref_l, cfg.window_size, cfg.prefilter_cap)
+        valid = valid & (tex >= cfg.texture_threshold * cfg.window_size)
+    if cfg.speckle_size > 0:
+        valid = speckle_filter(disp, valid, max_size=cfg.speckle_size,
+                               max_diff=float(cfg.speckle_range))
+    if cfg.interp or cfg.interpolate_missing:
+        disp, valid = wls_fill(disp, valid, l)
+    return _unbatch(MatchResult(disparity=disp, valid=valid), batched)
+
+
+def sgbm_match(left, right, cfg: MatcherConfig) -> MatchResult:
+    """Semi-global block matching (cv::StereoSGBM semantics,
+    matcherOpenCVSGBM.cpp): BT costs on the prefiltered pair, block sum,
+    N-path aggregation, uniqueness + LR + speckle, parabolic subpixel.
+    ``fullDP``/num_directions=8 corresponds to MODE_HH."""
+    l, batched = _batched(left)
+    r = right if right.ndim == 3 else right[None]
+    C, valid_cv = _cost_volume(l, r, cfg)
+    C = box_aggregate(C, valid_cv, cfg.window_size)
+    S = sgm_aggregate(C, float(cfg.p1), float(cfg.p2), _directions(cfg))
+    disp, valid = wta_disparity(S, cfg.min_disparity,
+                                uniqueness_ratio=float(cfg.uniqueness_ratio),
+                                subpixel=cfg.subpixel)
+    disp, valid = _postprocess(disp, valid, S, cfg, l)
+    return _unbatch(MatchResult(disparity=disp, valid=valid), batched)
+
+
+def i3drsgm_match(left, right, cfg: MatcherConfig) -> MatchResult:
+    """Census SGM with the Phobos-profile feature set
+    (ini/quick.param): census window, 4 path directions with additive
+    penalties, backmatching check, speckle(0.5, 100), median 3x3.
+    With cfg.pyramid the coarse-to-fine schedule of
+    :mod:`i3dr_stereo_tpu.matchers.pyramid` runs instead."""
+    if cfg.pyramid:
+        from i3dr_stereo_tpu.matchers.pyramid import pyramid_sgm_match
+        return pyramid_sgm_match(left, right, cfg)
+    l, batched = _batched(left)
+    r = right if right.ndim == 3 else right[None]
+    C, valid_cv = _cost_volume(l, r, cfg)
+    S = sgm_aggregate(C, float(cfg.p1), float(cfg.p2), _directions(cfg))
+    disp, valid = wta_disparity(S, cfg.min_disparity,
+                                uniqueness_ratio=float(cfg.uniqueness_ratio),
+                                subpixel=cfg.subpixel)
+    if cfg.backmatch_distance >= 0:
+        disp, valid = lr_consistency(disp, valid, S, cfg.min_disparity,
+                                     float(cfg.backmatch_distance))
+    if cfg.speckle_size > 0:
+        valid = speckle_filter(disp, valid, max_size=cfg.speckle_size,
+                               max_diff=float(cfg.speckle_range))
+    if cfg.median_filter:
+        disp = median3x3_masked(disp, valid)
+    if cfg.interp or cfg.interpolate_missing:
+        disp, valid = wls_fill(disp, valid, l)
+    return _unbatch(MatchResult(disparity=disp, valid=valid), batched)
+
+
+def bp_match(left, right, cfg: MatcherConfig) -> MatchResult:
+    """Hierarchical min-sum belief propagation
+    (cv::cuda::StereoBeliefPropagation analog, matcherOpenCVBPCuda.cpp)."""
+    from i3dr_stereo_tpu.matchers.bp import belief_propagation_match
+    return belief_propagation_match(left, right, cfg, constant_space=False)
+
+
+def csbp_match(left, right, cfg: MatcherConfig) -> MatchResult:
+    """Constant-space BP (cv::cuda::StereoConstantSpaceBP analog,
+    matcherOpenCVCSBPCuda.cpp): coarse-to-fine with a shrinking
+    per-level disparity candidate set."""
+    from i3dr_stereo_tpu.matchers.bp import belief_propagation_match
+    return belief_propagation_match(left, right, cfg, constant_space=True)
+
+
+MATCHER_REGISTRY = {
+    Algorithm.BM: bm_match,
+    Algorithm.SGBM: sgbm_match,
+    Algorithm.I3DRSGM: i3drsgm_match,
+    Algorithm.BM_GPU: bm_match,
+    Algorithm.BP_GPU: bp_match,
+    Algorithm.CSBP_GPU: csbp_match,
+}
+
+
+def compute_disparity(left, right, cfg: MatcherConfig) -> MatchResult:
+    """Pure functional entry: dispatch on cfg.algorithm."""
+    return MATCHER_REGISTRY[cfg.algorithm](left, right, cfg.sanitize())

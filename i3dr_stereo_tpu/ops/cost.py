@@ -1,0 +1,123 @@
+"""Pixel matching costs for the BM / SGBM backends.
+
+Re-creates the cost semantics of the reference's OpenCV backends
+(matcherOpenCVBlock.cpp, matcherOpenCVSGBM.cpp — which defer to
+cv::StereoBM / cv::StereoSGBM):
+
+- x-Sobel prefilter clipped to ``prefilter_cap`` (cv's PREFILTER_XSOBEL /
+  SGBM ftzero table),
+- Birchfield–Tomasi sampling-insensitive pixel cost for SGBM,
+- absolute-difference (SAD) cost for BM,
+- box aggregation over the correlation window, and the BM texture
+  threshold (sum of |prefiltered - cap| over the window).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from i3dr_stereo_tpu.ops.shift import gather_disparity_shifted
+
+BIG_COST = 1.0e9
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def xsobel_prefilter(image: jax.Array, cap: int = 31) -> jax.Array:
+    """Horizontal Sobel, clipped into [0, 2*cap] around cap.
+
+    Matches cv::StereoSGBM's ftzero table: out = clip(sobel_x + cap, 0, 2cap).
+    """
+    batched = image.ndim == 3
+    img = (image if batched else image[None]).astype(jnp.float32)
+    p = jnp.pad(img, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    B, H, W = img.shape
+    s = jax.lax.dynamic_slice
+
+    def sl(dy, dx):
+        return s(p, (0, dy + 1, dx + 1), (B, H, W))
+
+    gx = (sl(-1, 1) - sl(-1, -1)) + 2.0 * (sl(0, 1) - sl(0, -1)) + (sl(1, 1) - sl(1, -1))
+    out = jnp.clip(gx + cap, 0.0, 2.0 * cap)
+    return out if batched else out[0]
+
+
+def _half_sample_bounds(img: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-pixel min/max over {I, (I+I[x-1])/2, (I+I[x+1])/2} (BT)."""
+    left = jnp.concatenate([img[..., :1], img[..., :-1]], axis=-1)
+    right = jnp.concatenate([img[..., 1:], img[..., -1:]], axis=-1)
+    minus = 0.5 * (img + left)
+    plus = 0.5 * (img + right)
+    lo = jnp.minimum(jnp.minimum(minus, plus), img)
+    hi = jnp.maximum(jnp.maximum(minus, plus), img)
+    return lo, hi
+
+
+@partial(jax.jit, static_argnames=("min_disparity", "disparity_range"))
+def bt_cost_volume(left: jax.Array, right: jax.Array, min_disparity: int,
+                   disparity_range: int) -> tuple[jax.Array, jax.Array]:
+    """Birchfield–Tomasi pixel cost volume: (B, H, W, D) float32 + valid.
+
+    d(x_l, x_r) = min( max(0, L - Rmax, Rmin - L),
+                       max(0, R - Lmax, Lmin - R) )
+    computed on (typically prefiltered) images.
+    """
+    lL, hL = _half_sample_bounds(left)
+    lR, hR = _half_sample_bounds(right)
+    Rg, valid = gather_disparity_shifted(right, min_disparity, disparity_range)
+    lRg, _ = gather_disparity_shifted(lR, min_disparity, disparity_range)
+    hRg, _ = gather_disparity_shifted(hR, min_disparity, disparity_range)
+
+    L = left[..., None]
+    dl = jnp.maximum(jnp.maximum(L - hRg, lRg - L), 0.0)
+    dr = jnp.maximum(jnp.maximum(Rg - hL[..., None], lL[..., None] - Rg), 0.0)
+    C = jnp.minimum(dl, dr)
+    return jnp.where(valid, C, BIG_COST), valid
+
+
+@partial(jax.jit, static_argnames=("min_disparity", "disparity_range"))
+def sad_cost_volume(left: jax.Array, right: jax.Array, min_disparity: int,
+                    disparity_range: int) -> tuple[jax.Array, jax.Array]:
+    """Plain |L - R(x-d)| pixel cost (BM family)."""
+    Rg, valid = gather_disparity_shifted(right, min_disparity, disparity_range)
+    C = jnp.abs(left[..., None] - Rg)
+    return jnp.where(valid, C, BIG_COST), valid
+
+
+@partial(jax.jit, static_argnames=("window", "axis_hw"))
+def box_sum(x: jax.Array, window: int, axis_hw: tuple[int, int]) -> jax.Array:
+    """Sum over a window x window box (edge-padded) along the two spatial axes."""
+    r = window // 2
+    pad = [(0, 0)] * x.ndim
+    pad[axis_hw[0]] = (r, r)
+    pad[axis_hw[1]] = (r, r)
+    p = jnp.pad(x, pad, mode="edge")
+    win = [1] * x.ndim
+    win[axis_hw[0]] = window
+    win[axis_hw[1]] = window
+    return jax.lax.reduce_window(p, 0.0, jax.lax.add, tuple(win), (1,) * x.ndim, "VALID")
+
+
+def box_aggregate(C: jax.Array, valid: jax.Array, window: int) -> jax.Array:
+    """Aggregate a (B, H, W, D) pixel-cost volume over the correlation
+    window (cv SADWindowSize). Invalid (x, d) taps contribute their row's
+    clamped cost; the entry itself stays BIG where invalid."""
+    if window <= 1:
+        return C
+    Cc = jnp.minimum(C, BIG_COST)  # keep padding-safe
+    masked = jnp.where(valid, Cc, 0.0)
+    summed = box_sum(masked, window, axis_hw=(1, 2))
+    return jnp.where(valid, summed, BIG_COST)
+
+
+@partial(jax.jit, static_argnames=("window", "cap"))
+def texture_response(prefiltered: jax.Array, window: int, cap: int = 31) -> jax.Array:
+    """cv::StereoBM texture check: sum |pref - cap| over the SAD window.
+
+    Pixels whose response is below ``texture_threshold`` are invalidated
+    by the caller (cfg "texture_threshold", matcherOpenCVBlock.cpp:85-88).
+    """
+    resp = jnp.abs(prefiltered - float(cap))
+    return box_sum(resp, window, axis_hw=(prefiltered.ndim - 2, prefiltered.ndim - 1))

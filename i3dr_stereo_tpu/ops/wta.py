@@ -1,0 +1,61 @@
+"""Winner-take-all disparity extraction: argmin + uniqueness + subpixel.
+
+Replicates cv::StereoSGBM / cv::StereoBM selection semantics so the
+matcher backends can hit the reference's accuracy baseline:
+
+- best d = argmin_d S(p, d)
+- uniqueness: invalid if any d with |d - best| > 1 has
+  S[d] * (100 - uniquenessRatio) < S[best] * 100  (cv SGBM loop)
+- parabolic subpixel: d + (S[d-1] - S[d+1]) / (2 (S[d-1] + S[d+1] - 2 S[d])),
+  only for interior d (the "DSI Interpolator = Parabolic" of quick.param:81)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1.0e9
+
+
+@partial(jax.jit, static_argnames=("min_disparity", "uniqueness_ratio", "subpixel"))
+def wta_disparity(S: jax.Array, min_disparity: int = 0, *,
+                  uniqueness_ratio: float = 0.0,
+                  subpixel: bool = True) -> tuple[jax.Array, jax.Array]:
+    """S: (..., D) aggregated costs -> (disparity float32 px, valid bool).
+
+    Disparity is returned in *absolute* pixels (min_disparity offset
+    applied). Entries whose best cost is BIG-level (no valid candidate)
+    are invalid.
+    """
+    D = S.shape[-1]
+    best = jnp.argmin(S, axis=-1)
+    Sbest = jnp.min(S, axis=-1)
+    valid = Sbest < BIG / 2
+
+    if uniqueness_ratio > 0:
+        d_idx = jnp.arange(D)
+        far = jnp.abs(d_idx - best[..., None]) > 1
+        S_far = jnp.where(far, S, jnp.inf)
+        min_far = jnp.min(S_far, axis=-1)
+        ok = min_far * (100.0 - uniqueness_ratio) >= Sbest * 100.0
+        valid = valid & ok
+
+    disp = best.astype(jnp.float32)
+    if subpixel:
+        bm1 = jnp.clip(best - 1, 0, D - 1)
+        bp1 = jnp.clip(best + 1, 0, D - 1)
+        Sm = jnp.take_along_axis(S, bm1[..., None], axis=-1)[..., 0]
+        Sp = jnp.take_along_axis(S, bp1[..., None], axis=-1)[..., 0]
+        denom = Sm + Sp - 2.0 * Sbest
+        offset = jnp.where(denom > 1e-9,
+                           (Sm - Sp) / (2.0 * denom),
+                           0.0)
+        offset = jnp.clip(offset, -0.5, 0.5)
+        interior = (best > 0) & (best < D - 1)
+        disp = disp + jnp.where(interior, offset, 0.0)
+
+    disp = disp + float(min_disparity)
+    return disp, valid
