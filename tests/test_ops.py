@@ -27,9 +27,10 @@ def test_census_self_cost_zero():
     C, valid = census_cost_volume(c, c, 0, 8)
     C = np.asarray(C)[0]
     assert np.all(C[:, :, 0] == 0)          # d=0 self match
-    # random texture: other d costly away from the replicated borders
-    # (rare 24-bit census collisions allowed)
-    assert (C[3:-3, 8:-3, 1:] > 0).mean() > 0.999
+    # random texture: other d costly away from the replicated borders.
+    # (census codes of local extrema — all-ones/all-zeros — legitimately
+    # collide, so a small zero fraction is expected)
+    assert (C[3:-3, 8:-3, 1:] > 0).mean() > 0.99
 
 
 def test_census_known_shift():
