@@ -1,0 +1,164 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Flagship metric (BASELINE.md): SGM disparity frames/sec/chip at
+2448x2048 with an effective 256-disparity search (pyramid census SGM —
+the same coarse-to-fine trick the reference's licensed engine uses to
+hit real time at this resolution). Baseline target: 30 FPS/chip.
+
+Extra configs (BASELINE.json "configs") are runnable via
+BENCH_CONFIG={flagship,sgbm_1280,bm_640,pipeline_batch,all}; the driver
+default stays the flagship single line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 30.0
+
+
+def _synthetic_pair(h, w, max_disp=128, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0, 255, (h, w + max_disp)).astype(np.float32)
+    # cheap band-limit so census/BT have gradients
+    img = 0.25 * (np.roll(img, 1, 1) + np.roll(img, -1, 1)
+                  + np.roll(img, 1, 0) + np.roll(img, -1, 0))
+    left = img[:, max_disp:]
+    right = img[:, : w]  # constant disparity = max_disp... keep simple: shift
+    return left, np.roll(left, -max_disp // 4, axis=1)
+
+
+def _time_fn(fn, args, iters=5, warmup=2):
+    """Time fn over distinct per-iteration inputs.
+
+    The remote-execution layer memoizes identical (executable, args)
+    launches, so each timed iteration must see different data: we add a
+    small per-iteration offset to the first argument on device before
+    timing starts.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    first, rest = args[0], args[1:]
+    bump = jax.jit(lambda x, e: x + e)
+    variants = [jax.block_until_ready(bump(first, jnp.float32(i * 1e-3)))
+                for i in range(iters)]
+    for _ in range(warmup):
+        jax.block_until_ready(fn(variants[0], *rest))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(variants[i], *rest)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_flagship():
+    """2448x2048, effective 256+ disparity coverage via 6-level pyramid."""
+    import jax
+
+    from i3dr_stereo_tpu.config.params import ALGORITHM_DEFAULTS, Algorithm
+
+    H, W = 2048, 2448
+    cfg = ALGORITHM_DEFAULTS[Algorithm.I3DRSGM].replace(
+        disparity_range=256, max_pyramid_level=4,
+        speckle_size=100, median_filter=True)
+    from i3dr_stereo_tpu.matchers.registry import MATCHER_REGISTRY
+
+    impl = MATCHER_REGISTRY[cfg.algorithm]
+    fn = jax.jit(lambda l, r: impl(l, r, cfg).disparity)
+    l, r = _synthetic_pair(H, W)
+    l = jax.device_put(l[None])
+    r = jax.device_put(r[None])
+    dt = _time_fn(fn, (l, r))
+    fps = 1.0 / dt
+    return {
+        "metric": "sgm_disparity_fps_2448x2048_256d_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+
+
+def bench_sgbm_1280():
+    import jax
+
+    from i3dr_stereo_tpu.config.params import ALGORITHM_DEFAULTS, Algorithm
+    from i3dr_stereo_tpu.matchers.registry import MATCHER_REGISTRY
+
+    H, W = 1024, 1280
+    cfg = ALGORITHM_DEFAULTS[Algorithm.SGBM].replace(
+        disparity_range=128, window_size=5, speckle_size=0, num_directions=8)
+    impl = MATCHER_REGISTRY[cfg.algorithm]
+    fn = jax.jit(lambda l, r: impl(l, r, cfg).disparity)
+    l, r = _synthetic_pair(H, W)
+    dt = _time_fn(fn, (jax.device_put(l[None]), jax.device_put(r[None])))
+    return {"metric": "sgbm8_fps_1280x1024_128d", "value": round(1 / dt, 3),
+            "unit": "frames/s", "vs_baseline": None}
+
+
+def bench_bm_640():
+    import jax
+
+    from i3dr_stereo_tpu.config.params import ALGORITHM_DEFAULTS, Algorithm
+    from i3dr_stereo_tpu.matchers.registry import MATCHER_REGISTRY
+
+    H, W = 480, 640
+    cfg = ALGORITHM_DEFAULTS[Algorithm.BM].replace(disparity_range=64,
+                                                   speckle_size=0)
+    impl = MATCHER_REGISTRY[cfg.algorithm]
+    fn = jax.jit(lambda l, r: impl(l, r, cfg).disparity)
+    l, r = _synthetic_pair(H, W)
+    dt = _time_fn(fn, (jax.device_put(l[None]), jax.device_put(r[None])),
+                  iters=20, warmup=3)
+    return {"metric": "bm_fps_640x480_64d", "value": round(1 / dt, 3),
+            "unit": "frames/s", "vs_baseline": None}
+
+
+def bench_pipeline_batch():
+    """Fused rectify -> SGM -> depth on a batched 32-frame stream."""
+    import jax
+
+    from i3dr_stereo_tpu.config.params import ALGORITHM_DEFAULTS, Algorithm, PointCloudConfig
+    from i3dr_stereo_tpu.core.camera import StereoRig
+    from i3dr_stereo_tpu.pipeline.stereo_pipeline import StereoPipeline
+
+    B, H, W = 32, 480, 640
+    rig = StereoRig.synthetic(W, H, fx=500.0)
+    cfg = ALGORITHM_DEFAULTS[Algorithm.SGBM].replace(disparity_range=64,
+                                                     speckle_size=0)
+    pipe = StereoPipeline(rig=rig, config=cfg, compute_points=False,
+                          cloud=PointCloudConfig(depth_max=100.0))
+    l, r = _synthetic_pair(H, W)
+    L = jax.device_put(np.broadcast_to(l, (B, H, W)).copy())
+    R = jax.device_put(np.broadcast_to(r, (B, H, W)).copy())
+    pipe.process(L, R)  # compile
+    dt = _time_fn(pipe.process, (L, R), iters=3, warmup=1)
+    return {"metric": "fused_pipeline_fps_640x480_64d_batch32",
+            "value": round(B / dt, 3), "unit": "frames/s", "vs_baseline": None}
+
+
+BENCHES = {
+    "flagship": bench_flagship,
+    "sgbm_1280": bench_sgbm_1280,
+    "bm_640": bench_bm_640,
+    "pipeline_batch": bench_pipeline_batch,
+}
+
+
+def main():
+    which = os.environ.get("BENCH_CONFIG", "flagship")
+    if which == "all":
+        for name, fn in BENCHES.items():
+            print(json.dumps(fn()))
+        return
+    print(json.dumps(BENCHES[which]()))
+
+
+if __name__ == "__main__":
+    main()

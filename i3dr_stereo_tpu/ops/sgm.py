@@ -93,7 +93,9 @@ def _aggregate_one_direction(C: jax.Array, dy: int, dx: int,
             L = _sgm_step(prev, c, p1, p2)
             return L, L
 
-        init = jnp.zeros((B, H, D), dtype=C.dtype)
+        # derive from data (not a constant) so shard_map's varying-axes
+        # check accepts the carry
+        init = xs[0] * 0.0
         _, Ls = jax.lax.scan(step, init, xs)
         if dx < 0:
             Ls = Ls[::-1]
@@ -110,7 +112,7 @@ def _aggregate_one_direction(C: jax.Array, dy: int, dx: int,
         L = _sgm_step(prev_sh, c, p1, p2)
         return L, L
 
-    init = jnp.zeros((B, W, D), dtype=C.dtype)
+    init = xs[0] * 0.0
     _, Ls = jax.lax.scan(step, init, xs)
     if dy < 0:
         Ls = Ls[::-1]

@@ -1,0 +1,79 @@
+"""Multi-device sharding tests on the 8-virtual-CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from i3dr_stereo_tpu.config.params import ALGORITHM_DEFAULTS, Algorithm, PointCloudConfig
+from i3dr_stereo_tpu.core.camera import StereoRig
+from i3dr_stereo_tpu.dist.mesh import make_mesh
+from i3dr_stereo_tpu.dist.sharded import (
+    make_sharded_matcher,
+    make_sharded_pipeline_step,
+)
+from i3dr_stereo_tpu.io.synthetic import layered_scene
+from i3dr_stereo_tpu.matchers.registry import compute_disparity
+
+
+def _scene_batch(b, h, w, max_disp=16):
+    scenes = [layered_scene(h, w, max_disp=max_disp, seed=i) for i in range(b)]
+    L = np.stack([s.left for s in scenes])
+    R = np.stack([s.right for s in scenes])
+    return L, R, scenes
+
+
+def test_mesh_shapes(cpu_devices):
+    mesh = make_mesh(4, 2)
+    assert mesh.shape == {"data": 4, "spatial": 2}
+    mesh = make_mesh()
+    assert mesh.shape["data"] == len(cpu_devices)
+
+
+def test_data_parallel_match_equals_single(cpu_devices):
+    cfg = ALGORITHM_DEFAULTS[Algorithm.SGBM].replace(disparity_range=16,
+                                                     speckle_size=0)
+    L, R, _ = _scene_batch(4, 64, 80)
+    mesh = make_mesh(4, 1)
+    sharded = make_sharded_matcher(cfg, mesh, halo=0)
+    res_s = sharded(L, R)
+    res_1 = compute_disparity(L, R, cfg)
+    np.testing.assert_allclose(np.asarray(res_s.disparity),
+                               np.asarray(res_1.disparity), atol=1e-4)
+
+
+def test_spatial_sharding_matches_away_from_cuts(cpu_devices):
+    cfg = ALGORITHM_DEFAULTS[Algorithm.SGBM].replace(disparity_range=16,
+                                                     speckle_size=0,
+                                                     disp12_max_diff=-1.0)
+    L, R, _ = _scene_batch(2, 64, 80)
+    mesh = make_mesh(2, 4)  # 4-way row split: cuts at rows 16, 32, 48
+    halo = 8
+    sharded = make_sharded_matcher(cfg, mesh, halo=halo)
+    res_s = sharded(L, R)
+    res_1 = compute_disparity(L, R, cfg)
+    d_s = np.asarray(res_s.disparity)
+    d_1 = np.asarray(res_1.disparity)
+    v = np.asarray(res_s.valid) & np.asarray(res_1.valid)
+    # rows away from every cut by > 4 px must agree almost everywhere
+    away = np.ones(64, bool)
+    for cut in (16, 32, 48):
+        away[cut - 4:cut + 4] = False
+    sel = v & away[None, :, None]
+    agree = (np.abs(d_s - d_1) < 1.0)[sel]
+    assert agree.mean() > 0.99
+
+
+def test_sharded_full_pipeline_runs(cpu_devices):
+    rig = StereoRig.synthetic(80, 64, fx=100.0)
+    cfg = ALGORITHM_DEFAULTS[Algorithm.SGBM].replace(disparity_range=16,
+                                                     speckle_size=0)
+    cloud = PointCloudConfig(depth_max=1000.0)
+    mesh = make_mesh(2, 2)
+    step = make_sharded_pipeline_step(rig, cfg, cloud, mesh, halo=8)
+    L, R, scenes = _scene_batch(2, 64, 80)
+    out = step(L, R)
+    assert out["disparity"].shape == (2, 64, 80)
+    assert out["depth"].shape == (2, 64, 80)
+    d = np.asarray(out["disparity"])
+    v = np.asarray(out["valid"]) & scenes[0].valid[None]
+    err = np.abs(d - np.stack([s.disparity for s in scenes]))[v]
+    assert np.median(err) < 1.0
