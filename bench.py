@@ -35,25 +35,25 @@ def _synthetic_pair(h, w, max_disp=128, seed=0):
 
 
 def _time_fn(fn, args, iters=5, warmup=2):
-    """Time fn over distinct per-iteration inputs.
-
-    The remote-execution layer memoizes identical (executable, args)
-    launches, so each timed iteration must see different data: we add a
-    small per-iteration offset to the first argument on device before
-    timing starts.
+    """Honest timing: chain each iteration's input on the previous
+    iteration's output (a nano-scale scalar perturbation), forcing full
+    serialization on device. Plain async dispatch + block_until_ready
+    overlaps/elides independent identical executions on this runtime and
+    reports dispatch overhead instead of device time.
     """
     import jax
-    import jax.numpy as jnp
 
     first, rest = args[0], args[1:]
-    bump = jax.jit(lambda x, e: x + e)
-    variants = [jax.block_until_ready(bump(first, jnp.float32(i * 1e-3)))
-                for i in range(iters)]
-    for _ in range(warmup):
-        jax.block_until_ready(fn(variants[0], *rest))
+    bump = jax.jit(lambda x, o, e: x + o.ravel()[0] * 1e-12 + e)
+
+    out = fn(first, *rest)
+    for _ in range(max(warmup - 1, 0)):
+        out = fn(bump(first, jax.tree_util.tree_leaves(out)[0].astype("float32"), 1e-3), *rest)
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
     for i in range(iters):
-        out = fn(variants[i], *rest)
+        dep = jax.tree_util.tree_leaves(out)[0].astype("float32")
+        out = fn(bump(first, dep, (i + 1) * 1e-3), *rest)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 

@@ -33,7 +33,8 @@ from i3dr_stereo_tpu.matchers.base import MatchResult
 from i3dr_stereo_tpu.ops.census import census_transform
 from i3dr_stereo_tpu.ops.lr_check import lr_consistency
 from i3dr_stereo_tpu.ops.median import median3x3, median3x3_masked
-from i3dr_stereo_tpu.ops.sgm import DIRECTIONS_4, DIRECTIONS_8, sgm_aggregate
+from i3dr_stereo_tpu.ops.sgm import DIRECTIONS_4, DIRECTIONS_8
+from i3dr_stereo_tpu.ops.sgm_dispatch import sgm_aggregate_auto as sgm_aggregate
 from i3dr_stereo_tpu.ops.speckle import speckle_filter
 from i3dr_stereo_tpu.ops.wls import wls_fill
 from i3dr_stereo_tpu.ops.wta import wta_disparity

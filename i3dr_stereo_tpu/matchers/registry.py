@@ -30,7 +30,6 @@ from i3dr_stereo_tpu.ops import (
     census_transform,
     lr_consistency,
     sad_cost_volume,
-    sgm_aggregate,
     speckle_filter,
     wta_disparity,
     xsobel_prefilter,
@@ -38,6 +37,7 @@ from i3dr_stereo_tpu.ops import (
 from i3dr_stereo_tpu.ops.cost import texture_response
 from i3dr_stereo_tpu.ops.median import median3x3_masked
 from i3dr_stereo_tpu.ops.sgm import DIRECTIONS_4, DIRECTIONS_5, DIRECTIONS_8
+from i3dr_stereo_tpu.ops.sgm_dispatch import sgm_aggregate_auto as sgm_aggregate
 from i3dr_stereo_tpu.ops.wls import wls_fill
 
 

@@ -1,0 +1,251 @@
+"""Pallas TPU kernels for SGM path aggregation.
+
+Same contract as :func:`i3dr_stereo_tpu.ops.sgm.sgm_aggregate` (the XLA
+`lax.scan` reference — tests assert near-bit-equality), engineered for
+the chip:
+
+- **Horizontal kernel** — grid over (batch, row-tiles); both horizontal
+  directions (W->E, E->W) computed in one kernel instance over the same
+  VMEM-resident cost tile, so C is read from HBM once for two paths.
+- **Vertical/diagonal kernel** — grid over (batch, rows) executed
+  sequentially; the per-direction carries L_r(row-1, :, :) persist in
+  VMEM scratch across grid steps. Diagonal paths are the same row scan
+  with the carry rolled one column (`pltpu.roll` on the sublane axis) —
+  no wavefront scheduling. Up to three directions (N, NW, NE) share one
+  sweep, reading C once and writing one partial-sum volume.
+- The disparity axis lives on the 128-lane minor dimension; the d+-1
+  neighbour terms are lane rolls; min_d is a lane reduction.
+
+Direction groups (same partition as the reference engine's four
+"SGM <dir> Optimization" switches, ini/quick.param:144-147, each of
+which is a bidirectional optimization):
+
+    horizontal: (0,1), (0,-1)          1 kernel launch
+    top-down:   (1,0), (1,1), (1,-1)   1 launch (carries: 1 per dir)
+    bottom-up:  (-1,0), (-1,-1), (-1,1) 1 launch
+
+VMEM use per launch ~ (2 x C/S row blocks x double buffering +
+carries); the row-tile height adapts to stay under budget.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1.0e9
+
+_HORIZ = ((0, 1), (0, -1))
+_TOPDOWN = ((1, 0), (1, 1), (1, -1))
+_BOTTOMUP = ((-1, 0), (-1, -1), (-1, 1))
+
+
+def _step(prev, c, p1, p2, D):
+    """One SGM recurrence step on (rows, D) blocks; D on lanes."""
+    m = jnp.min(prev, axis=-1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, prev.shape, prev.ndim - 1)
+    # pltpu.roll takes non-negative shifts; -1 == size-1 circularly
+    up = jnp.where(lane == 0, BIG, pltpu.roll(prev, 1, axis=prev.ndim - 1))
+    dn = jnp.where(lane == D - 1, BIG,
+                   pltpu.roll(prev, D - 1, axis=prev.ndim - 1))
+    best = jnp.minimum(jnp.minimum(prev, m + p2),
+                       jnp.minimum(up + p1, dn + p1))
+    return c + best - m
+
+
+# ---------------------------------------------------------------------------
+# horizontal kernel: both directions over one VMEM-resident row tile
+# ---------------------------------------------------------------------------
+
+def _lr_kernel(c_ref, s_ref, carry_ref, *, p1, p2, WC, D, forward: bool):
+    """One W-chunk of the horizontal scan over a tall row tile.
+
+    Grid is (B, H/TH, W/WC) with the W dimension iterated sequentially;
+    the (TH, D) carry persists in scratch across chunks. TH is large
+    (up to 128 rows) so each recurrence step is a (TH, D) VPU block —
+    the scan's serial axis costs W steps, everything else is vector.
+    """
+    chunk = pl.program_id(2)
+
+    @pl.when(chunk == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    def body(i, carry):
+        x = i if forward else WC - 1 - i
+        c = c_ref[0, :, x, :]
+        L = _step(carry, c, p1, p2, D)
+        s_ref[0, :, x, :] = L
+        return L
+
+    carry_ref[:] = jax.lax.fori_loop(0, WC, body, carry_ref[:])
+
+
+def _pick_tiles(H: int, W: int, D: int,
+                budget_bytes: int = 6 * 1024 * 1024) -> Tuple[int, int]:
+    """Choose (TH, WC): tall row tiles, W chunks sized to the VMEM budget
+    (C block + S block, double-buffered => 4x block size resident)."""
+    th = 128
+    while th > 1 and H % th:
+        th //= 2
+    if H % th:
+        th = 1
+    wc = max(1, budget_bytes // (th * D * 4 * 4))
+    wc = min(wc, W)
+    while W % wc:
+        wc -= 1
+    return th, wc
+
+
+@functools.partial(jax.jit, static_argnames=("p1", "p2", "forward", "interpret"))
+def _horizontal_pass(C, p1, p2, forward: bool, interpret: bool = False):
+    B, H, W, D = C.shape
+    th, wc = _pick_tiles(H, W, D)
+    kern = functools.partial(_lr_kernel, p1=p1, p2=p2, WC=wc, D=D,
+                             forward=forward)
+    if forward:
+        index_map = lambda b, i, j: (b, i, j, 0)
+    else:
+        index_map = lambda b, i, j: (b, i, W // wc - 1 - j, 0)
+    spec = pl.BlockSpec((1, th, wc, D), index_map, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B, H // th, W // wc),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((th, D), jnp.float32)],
+        interpret=interpret,
+    )(C)
+
+
+# ---------------------------------------------------------------------------
+# vertical/diagonal kernel: sequential row sweep with persistent carries
+# ---------------------------------------------------------------------------
+
+def _vert_kernel(c_ref, s_ref, *carries, p1, p2, shifts, W, D):
+    row = pl.program_id(1)
+
+    @pl.when(row == 0)
+    def _():
+        for cr in carries:
+            cr[:] = jnp.zeros_like(cr)
+
+    c = c_ref[0, 0]  # (W, D)
+    total = None
+    for cr, sh in zip(carries, shifts):
+        prev = cr[:]
+        if sh != 0:
+            prev = pltpu.roll(prev, sh % W, axis=0)
+            ridx = jax.lax.broadcasted_iota(jnp.int32, prev.shape, 0)
+            edge = 0 if sh > 0 else W - 1
+            # zero carry at the entering column => L = C there
+            prev = jnp.where(ridx == edge, 0.0, prev)
+        L = _step(prev, c, p1, p2, D)
+        cr[:] = L
+        total = L if total is None else total + L
+    s_ref[0, 0] = total
+
+
+@functools.partial(jax.jit, static_argnames=("p1", "p2", "shifts", "reverse", "interpret"))
+def _vertical_pass(C, p1, p2, shifts: Tuple[int, ...], reverse: bool,
+                   interpret: bool = False):
+    B, H, W, D = C.shape
+    kern = functools.partial(_vert_kernel, p1=p1, p2=p2, shifts=shifts, W=W, D=D)
+    if reverse:
+        index_map = lambda b, i: (b, H - 1 - i, 0, 0)
+    else:
+        index_map = lambda b, i: (b, i, 0, 0)
+    spec = pl.BlockSpec((1, 1, W, D), index_map, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B, H),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((W, D), jnp.float32) for _ in shifts],
+        interpret=interpret,
+    )(C)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+def _vmem_ok_vertical(W: int, D: int, n_carries: int) -> bool:
+    # carries + C/S blocks (double-buffered)
+    need = (n_carries + 4) * W * D * 4
+    return need < 14 * 1024 * 1024
+
+
+def sgm_aggregate_pallas(C: jax.Array, p1: float = 10.0, p2: float = 120.0,
+                         directions: Sequence[Tuple[int, int]] = None,
+                         per_direction_penalties=None,
+                         interpret: bool = False) -> jax.Array:
+    """Drop-in Pallas replacement for ops.sgm.sgm_aggregate.
+
+    C: (B, H, W, D) or (H, W, D) float32 cost volume; returns the summed
+    path costs S with identical semantics to the XLA reference.
+    """
+    from i3dr_stereo_tpu.ops.sgm import DIRECTIONS_8
+
+    if directions is None:
+        directions = DIRECTIONS_8
+    directions = tuple(directions)
+    batched = C.ndim == 4
+    Cb = C if batched else C[None]
+    Cb = Cb.astype(jnp.float32)
+    B, H, W, D = Cb.shape
+    if D % 128 != 0:
+        # pad disparity axis to the lane width; padded entries get BIG
+        # cost so they never win and cannot influence m (min over d) by
+        # more than the existing BIG entries do.
+        padD = (D + 127) // 128 * 128
+        Cb = jnp.pad(Cb, ((0, 0), (0, 0), (0, 0), (0, padD - D)),
+                     constant_values=BIG)
+    else:
+        padD = D
+
+    pen = {d: (p1, p2) for d in directions}
+    if per_direction_penalties is not None:
+        pen = {d: per_direction_penalties[i] for i, d in enumerate(directions)}
+
+    S = None
+
+    def add(part):
+        nonlocal S
+        S = part if S is None else S + part
+
+    # horizontal group: one launch per direction (reverse via index_map)
+    for d in _HORIZ:
+        if d in directions:
+            pp1, pp2 = pen[d]
+            add(_horizontal_pass(Cb, float(pp1), float(pp2),
+                                 forward=(d == (0, 1)), interpret=interpret))
+
+    # vertical groups
+    for family, reverse in ((_TOPDOWN, False), (_BOTTOMUP, True)):
+        fam = [d for d in family if d in directions]
+        if not fam:
+            continue
+        groups = {}
+        for d in fam:
+            groups.setdefault(pen[d], []).append(d)
+        for (pp1, pp2), ds in groups.items():
+            shifts = tuple(d[1] for d in ds)
+            if _vmem_ok_vertical(W, padD, len(shifts)):
+                add(_vertical_pass(Cb, float(pp1), float(pp2), shifts, reverse,
+                                   interpret=interpret))
+            else:
+                for sh in shifts:
+                    add(_vertical_pass(Cb, float(pp1), float(pp2), (sh,),
+                                       reverse, interpret=interpret))
+
+    if padD != D:
+        S = S[..., :D]
+    return S if batched else S[0]
