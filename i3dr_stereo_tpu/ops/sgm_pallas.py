@@ -89,16 +89,20 @@ def _lr_kernel(c_ref, s_ref, carry_ref, *, p1, p2, WC, D, forward: bool):
 def _pick_tiles(H: int, W: int, D: int,
                 budget_bytes: int = 6 * 1024 * 1024) -> Tuple[int, int]:
     """Choose (TH, WC): tall row tiles, W chunks sized to the VMEM budget
-    (C block + S block, double-buffered => 4x block size resident)."""
+    (C block + S block, double-buffered => 4x block size resident).
+
+    Constraint: the last two block dims are (WC, D), so WC must be a
+    multiple of 8 (or the full W); callers pre-pad W to a multiple of 8.
+    """
     th = 128
     while th > 1 and H % th:
         th //= 2
-    if H % th:
-        th = 1
-    wc = max(1, budget_bytes // (th * D * 4 * 4))
+    wc = max(8, budget_bytes // (th * D * 4 * 4) // 8 * 8)
     wc = min(wc, W)
-    while W % wc:
-        wc -= 1
+    while wc > 8 and W % wc:
+        wc -= 8
+    if W % wc:
+        wc = W
     return th, wc
 
 
@@ -201,15 +205,21 @@ def sgm_aggregate_pallas(C: jax.Array, p1: float = 10.0, p2: float = 120.0,
     Cb = C if batched else C[None]
     Cb = Cb.astype(jnp.float32)
     B, H, W, D = Cb.shape
-    if D % 128 != 0:
-        # pad disparity axis to the lane width; padded entries get BIG
-        # cost so they never win and cannot influence m (min over d) by
-        # more than the existing BIG entries do.
-        padD = (D + 127) // 128 * 128
-        Cb = jnp.pad(Cb, ((0, 0), (0, 0), (0, 0), (0, padD - D)),
-                     constant_values=BIG)
-    else:
-        padD = D
+    # Spatial padding to tile-friendly sizes with ZERO cost: a zero-cost
+    # border column/row gives L == 0 there, so a scan entering the real
+    # image from padding carries exactly the edge-start semantics of the
+    # unpadded recurrence (min(0, p1, p2) - 0 == 0 => L = C). Disparity
+    # padding uses BIG so padded lanes never win and the d+-1 rolls see
+    # the same BIG as the explicit edge masks.
+    padH = (H + 7) // 8 * 8
+    padW = (W + 7) // 8 * 8
+    padD = (D + 127) // 128 * 128
+    if (padH, padW, padD) != (H, W, D):
+        Cb = jnp.pad(Cb, ((0, 0), (0, padH - H), (0, padW - W), (0, 0)),
+                     constant_values=0.0)
+        if padD != D:
+            Cb = jnp.pad(Cb, ((0, 0), (0, 0), (0, 0), (0, padD - D)),
+                         constant_values=BIG)
 
     pen = {d: (p1, p2) for d in directions}
     if per_direction_penalties is not None:
@@ -246,6 +256,6 @@ def sgm_aggregate_pallas(C: jax.Array, p1: float = 10.0, p2: float = 120.0,
                     add(_vertical_pass(Cb, float(pp1), float(pp2), (sh,),
                                        reverse, interpret=interpret))
 
-    if padD != D:
-        S = S[..., :D]
+    if (padH, padW, padD) != (H, W, D):
+        S = S[:, :H, :W, :D]
     return S if batched else S[0]
