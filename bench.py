@@ -35,27 +35,51 @@ def _synthetic_pair(h, w, max_disp=128, seed=0):
 
 
 def _time_fn(fn, args, iters=5, warmup=2):
-    """Honest timing: chain each iteration's input on the previous
-    iteration's output (a nano-scale scalar perturbation), forcing full
-    serialization on device. Plain async dispatch + block_until_ready
-    overlaps/elides independent identical executions on this runtime and
-    reports dispatch overhead instead of device time.
+    """Honest device timing on an async remote runtime.
+
+    Two defenses, both required here:
+    - K iterations are chained *inside one jit* via lax.scan (each
+      iteration's input depends on the previous output), so the device
+      must serialize K real executions per dispatch — plain repeated
+      dispatch overlaps/elides identical executions;
+    - completion is forced by fetching the scalar result to the host
+      (block_until_ready alone acks the RPC, not execution), and the
+      (large, variable) dispatch+fetch round-trip is cancelled by
+      differencing a K-iteration call against a 2K-iteration call:
+      per-iter = (t(2K) - t(K)) / K.
     """
     import jax
+    import jax.numpy as jnp
 
     first, rest = args[0], args[1:]
-    bump = jax.jit(lambda x, o, e: x + o.ravel()[0] * 1e-12 + e)
 
-    out = fn(first, *rest)
-    for _ in range(max(warmup - 1, 0)):
-        out = fn(bump(first, jax.tree_util.tree_leaves(out)[0].astype("float32"), 1e-3), *rest)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        dep = jax.tree_util.tree_leaves(out)[0].astype("float32")
-        out = fn(bump(first, dep, (i + 1) * 1e-3), *rest)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    def make_loop(K):
+        @jax.jit
+        def loop(x0, *r):
+            def body(c, _):
+                out = fn(x0 + c, *r)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return leaf.ravel()[0].astype(jnp.float32) * 1e-20, None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
+            return c
+        return loop
+
+    K = max(iters, 2)
+    loop1 = make_loop(K)
+    loop2 = make_loop(2 * K)
+    # compile + genuinely execute once each (fetch forces completion)
+    float(loop1(first, *rest))
+    float(loop2(first, *rest))
+
+    def run(loop, bump):
+        t0 = time.perf_counter()
+        float(loop(first + bump, *rest))
+        return time.perf_counter() - t0
+
+    # interleave to average out round-trip drift
+    t1 = min(run(loop1, 1e-3), run(loop1, 2e-3))
+    t2 = min(run(loop2, 3e-3), run(loop2, 4e-3))
+    return max((t2 - t1) / K, 1e-9)
 
 
 def bench_flagship():
