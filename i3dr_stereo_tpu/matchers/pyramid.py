@@ -4,38 +4,44 @@ I3DRSGM/Phobos engine's schedule (ini/quick.param):
     6 pyramid levels, census 9x9 features, only ~31 disparities searched
     per level ("Number Of Disparities = 31"), each finer level predicted
     from the coarser result ("Predictor = Shift"), coarsest level offset
-    by "Top Prediction Shift".
+    by "Top Prediction Shift", optional half-pel subpix refinement
+    passes ("Disparity Step Size = 0.5", subpix.param).
 
 This schedule is why the reference engine is real-time at 2448x2048 with
 a >500 px disparity range: the per-level search stays narrow, so the
-cost volume is ~D/8 the size of a brute-force SGBM volume. Here each
-level is a jitted census + 4-path SGM over a *per-pixel shifted* search
-window:
+cost volume is ~D/8 the size of a brute-force SGBM volume. Each level is
+a jitted census + 4-path SGM over a *per-pixel shifted* search window:
 
-    C_l(y, x, k) = hamming( cl(y, x), cr(y, x - (pred(y,x) + k - K/2)) )
+    C_l(y, x, k) = hamming( cl(y, x), cr(y, x - (pred(y,x) + k)) )
 
 with the prediction median-smoothed first so neighbouring pixels share
 window alignment (the SGM recurrence then treats equal k as equal
 disparity; exact at smooth predictions, off only across prediction
-discontinuities — same approximation the shift-predictor engine makes).
-
-Whole pyramid = one jit; every level's tensors stay on-chip.
+discontinuities — the same approximation the shift-predictor engine
+makes). The whole pyramid is one jit; every level's tensors stay
+on-chip. The schedule itself is data: an
+:class:`~i3dr_stereo_tpu.config.profile.SGMProfile` (parsed from the
+reference's .param INI files or built from the MatcherConfig).
 """
 
 from __future__ import annotations
+
+import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from i3dr_stereo_tpu.config.params import MatcherConfig
-from i3dr_stereo_tpu.config.profile import SGMProfile
+from i3dr_stereo_tpu.config.profile import PyramidLevelConfig, SGMProfile
 from i3dr_stereo_tpu.matchers.base import MatchResult
 from i3dr_stereo_tpu.ops.census import census_transform
-from i3dr_stereo_tpu.ops.lr_check import lr_consistency
 from i3dr_stereo_tpu.ops.median import median3x3, median3x3_masked
+from i3dr_stereo_tpu.ops.occlusion import detect_occlusions, fill_occlusions
 from i3dr_stereo_tpu.ops.sgm import DIRECTIONS_4, DIRECTIONS_8
 from i3dr_stereo_tpu.ops.sgm_dispatch import sgm_aggregate_auto as sgm_aggregate
 from i3dr_stereo_tpu.ops.speckle import speckle_filter
+from i3dr_stereo_tpu.ops.subpix import halfpel_refine
 from i3dr_stereo_tpu.ops.wls import wls_fill
 from i3dr_stereo_tpu.ops.wta import wta_disparity
 
@@ -52,8 +58,7 @@ def _downsample2(img: jax.Array) -> jax.Array:
 
 def _upsample2_disp(d: jax.Array, H: int, W: int) -> jax.Array:
     """Upsample a disparity map to (H, W) and double its values."""
-    up = 2.0 * jax.image.resize(d, d.shape[:-2] + (H, W), method="nearest")
-    return up
+    return 2.0 * jax.image.resize(d, d.shape[:-2] + (H, W), method="nearest")
 
 
 def shifted_census_cost(cl: jax.Array, cr: jax.Array, offset: jax.Array,
@@ -70,85 +75,148 @@ def shifted_census_cost(cl: jax.Array, cr: jax.Array, offset: jax.Array,
     src = xs[..., None] - (offset[..., None] + k)           # (B,H,W,K)
     valid = (src >= 0) & (src < W)
     src_c = jnp.clip(src, 0, W - 1)
-    # gather right census rows at per-pixel columns
     crg = jnp.take_along_axis(cr[:, :, :, None, :], src_c[..., None], axis=2)
-    # ^ broadcasts to (B,H,W,K,nw)
     x = jnp.bitwise_xor(cl[:, :, :, None, :], crg)
     ham = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.float32)
     return jnp.where(valid, ham, BIG), valid
 
 
+def profile_from_config(cfg: MatcherConfig) -> SGMProfile:
+    """Build a pyramid schedule from the flat MatcherConfig (the path
+    used when no .param profile was loaded): quick-profile shape with the
+    config's census/penalty/filter values on every level."""
+    n = max(1, int(cfg.max_pyramid_level))
+    levels = []
+    for lv in range(n - 1, -1, -1):
+        levels.append(PyramidLevelConfig(
+            level=lv,
+            enabled=True,
+            subpix_pass=False,
+            num_disparities=31,
+            census_w=cfg.census_width,
+            census_h=cfg.census_height,
+            p1=(float(cfg.p1),) * 4,
+            p2=(float(cfg.p2),) * 4,
+            backmatch=cfg.backmatch_distance >= 0,
+            backmatch_dist=max(cfg.backmatch_distance, 0.0),
+            median=cfg.median_filter,
+            speckle=cfg.speckle_size > 0,
+            speckle_max_diff=float(cfg.speckle_range),
+            speckle_max_region=cfg.speckle_size,
+            subpixel=cfg.subpixel,
+            interpolate_gaps=cfg.interp or cfg.interpolate_missing,
+            interpolate_occlusions=cfg.occlusion_interp,
+            occlusion_detection=cfg.occlusion_detection,
+            prediction_shift=0.0,
+        ))
+    return SGMProfile(name="from_config", levels=tuple(levels))
+
+
 def pyramid_sgm_match(left, right, cfg: MatcherConfig,
-                      profile: SGMProfile | None = None) -> MatchResult:
-    """Full coarse-to-fine match. Uses cfg for geometry and the (optional)
-    profile for per-level penalties/filters."""
+                      profile: Optional[SGMProfile] = None) -> MatchResult:
+    """Full coarse-to-fine match driven by a typed SGMProfile."""
+    if profile is None:
+        profile = profile_from_config(cfg)
     batched = left.ndim == 3
     l = (left if batched else left[None]).astype(jnp.float32)
     r = (right if batched else right[None]).astype(jnp.float32)
     B, H, W = l.shape
 
-    K = 32  # per-level search width (profile "Number Of Disparities = 31", padded to 32 lanes)
-    n_levels = int(cfg.max_pyramid_level)
-    # keep the coarsest level at least ~24 px wide and s.t. the full range is covered
-    max_by_size = max(1, min(H, W).bit_length() - 5)
-    n_levels = max(1, min(n_levels, max_by_size))
+    passes = profile.enabled_levels
+    if not passes:
+        raise ValueError("profile has no enabled pyramid levels")
+    # clamp levels to what the image size supports (coarsest >= ~32 px)
+    max_by_size = max(0, min(H, W).bit_length() - 6)
+    passes = [dataclasses.replace(p, level=min(p.level, max_by_size))
+              for p in passes]
+    deepest = max(p.level for p in passes)
 
     # image pyramids, fine -> coarse
     pyr_l, pyr_r = [l], [r]
-    for _ in range(n_levels - 1):
+    for _ in range(deepest):
         pyr_l.append(_downsample2(pyr_l[-1]))
         pyr_r.append(_downsample2(pyr_r[-1]))
 
-    p1, p2 = float(cfg.p1), float(cfg.p2)
     dirs = DIRECTIONS_4 if cfg.num_directions == 4 else DIRECTIONS_8
 
-    disp = None
-    for li in range(n_levels - 1, -1, -1):
-        ll, rr = pyr_l[li], pyr_r[li]
+    disp = None        # current estimate at `cur_level` resolution
+    valid = None
+    cur_level = None
+
+    for p in passes:
+        ll, rr = pyr_l[p.level], pyr_r[p.level]
         Bh, Hh, Wh = ll.shape
-        cl = census_transform(ll, cfg.census_height, cfg.census_width)
-        cr = census_transform(rr, cfg.census_height, cfg.census_width)
+
+        if p.subpix_pass:
+            if disp is None:
+                continue
+            if cur_level != p.level:
+                disp = _upsample2_disp(disp, Hh, Wh)
+                cur_level = p.level
+                valid = None
+            disp = halfpel_refine(ll, rr, disp,
+                                  jnp.ones(disp.shape, bool),
+                                  step_size=p.step_size)
+            continue
+
+        K = max(8, p.num_disparities + 1)  # odd profile count -> even window
+        cl = census_transform(ll, p.census_h, p.census_w)
+        cr = census_transform(rr, p.census_h, p.census_w)
 
         if disp is None:
-            # coarsest: absolute window starting at the (scaled) min
-            # disparity + top prediction shift analog
-            base = int(round(cfg.min_disparity / (2 ** li)))
+            base = int(round(cfg.min_disparity / (2 ** p.level)
+                             + p.prediction_shift))
             offset = jnp.full((Bh, Hh, Wh), base, jnp.int32)
         else:
-            pred = _upsample2_disp(disp, Hh, Wh)
+            pred = disp
+            while cur_level > p.level:
+                pred = _upsample2_disp(pred, pyr_l[cur_level - 1].shape[1],
+                                       pyr_l[cur_level - 1].shape[2])
+                cur_level -= 1
             pred = median3x3(pred)  # align neighbouring windows
             offset = jnp.round(pred).astype(jnp.int32) - K // 2
             offset = jnp.clip(offset, -K // 2, Wh - 1)
 
-        C, valid_cv = shifted_census_cost(cl, cr, offset, K)
-        S = sgm_aggregate(C, p1, p2, dirs)
+        C, _ = shifted_census_cost(cl, cr, offset, K)
+        pens = tuple((p.p1[min(i, 3)], p.p2[min(i, 3)])
+                     for i in range(len(dirs)))
+        S = sgm_aggregate(C, directions=dirs, per_direction_penalties=pens)
+        finest = p.level == 0
         dk, ok = wta_disparity(S, 0, uniqueness_ratio=0.0,
-                               subpixel=(li == 0 and cfg.subpixel))
+                               subpixel=(finest and p.subpixel))
         disp = dk + offset.astype(jnp.float32)
-        # carry a cheap validity forward only at the finest level
-        if li == 0:
-            valid = ok & (jnp.min(C, axis=-1) < BIG / 2)
-            if cfg.backmatch_distance >= 0:
-                # LR check needs an absolute-disparity volume: re-anchor S
-                # to absolute disparities via the window offset is only
-                # aligned per-pixel, so run the check on the final map by
-                # re-matching reversed images is overkill; use the
-                # window-local consistency instead: right-anchored WTA
-                # within the same window.
-                disp, valid = _window_lr_check(disp, valid, S, offset,
-                                               float(cfg.backmatch_distance))
-            if cfg.speckle_size > 0:
-                valid = speckle_filter(disp, valid,
-                                       max_size=cfg.speckle_size,
-                                       max_diff=float(cfg.speckle_range))
-            if cfg.median_filter:
-                disp = median3x3_masked(disp, valid)
-            if cfg.interp or cfg.interpolate_missing:
-                disp, valid = wls_fill(disp, valid, ll)
-        else:
-            # between levels: median-clean the estimate; invalid pixels
-            # inherit the local median (windows re-search anyway)
-            disp = median3x3(jnp.where(ok, disp, median3x3(disp)))
+        cur_level = p.level
+        valid = ok & (jnp.min(C, axis=-1) < BIG / 2)
+
+        if p.backmatch:
+            disp, valid = _roundtrip_check(disp, valid, p.backmatch_dist)
+        if p.speckle and p.speckle_max_region > 0:
+            valid = speckle_filter(disp, valid,
+                                   max_size=p.speckle_max_region,
+                                   max_diff=p.speckle_max_diff)
+        if p.occlusion_detection:
+            occ = detect_occlusions(disp, valid)
+            if p.interpolate_occlusions:
+                disp, valid = fill_occlusions(disp, valid, occ)
+            else:
+                valid = valid & ~occ
+        if p.median:
+            disp = median3x3_masked(disp, valid)
+        if not finest:
+            # between levels: invalid pixels inherit the local median so
+            # the next level's windows re-centre sensibly
+            disp = jnp.where(valid, disp, median3x3(disp))
+        elif p.interpolate_gaps:
+            disp, valid = wls_fill(disp, valid, ll)
+
+    # bring the final estimate to full resolution if the finest enabled
+    # level was coarser than 0 (reference: disabled fine pyramids)
+    while cur_level > 0:
+        disp = _upsample2_disp(disp, pyr_l[cur_level - 1].shape[1],
+                               pyr_l[cur_level - 1].shape[2])
+        valid = jax.image.resize(valid.astype(jnp.float32),
+                                 disp.shape, method="nearest") > 0.5
+        cur_level -= 1
 
     res = MatchResult(disparity=disp, valid=valid)
     if not batched:
@@ -156,32 +224,16 @@ def pyramid_sgm_match(left, right, cfg: MatcherConfig,
     return res
 
 
-def _window_lr_check(disp: jax.Array, valid: jax.Array, S: jax.Array,
-                     offset: jax.Array, max_diff: float):
-    """LR consistency inside the per-pixel window: re-anchor the
-    aggregated costs to the right image, S_R(y, xr, k) = S_L(y, xr + d, k)
-    where d = offset(xl)+k — i.e. for each right pixel find the best left
-    column claiming it, within the windows that cover it.
-
-    Exact re-anchoring needs a scatter; we use the standard gather
-    approximation over candidate left columns xr + j for j in the union
-    search range, checking |d_L(xr + j) - j| implicitly via the absolute
-    map: right-best = argmin over j of S at (xr+j, j - offset) when in
-    window. To stay O(K) we check consistency directly on the absolute
-    disparity map: a pixel passes if some pixel x' = x - d(x) + d(x')
-    round-trips within max_diff. This reduces to comparing d at x and at
-    x - d(x) + d(x - d(x)) — the classic two-view round trip on a single
-    map, which equals the full check whenever the right image's best
-    match lies inside the windows (true away from occlusions).
-    """
+def _roundtrip_check(disp: jax.Array, valid: jax.Array, max_diff: float):
+    """Backmatching approximation on the absolute map: d at the warped
+    column must agree with d at x (exact away from occlusions; the
+    engine's full backmatch computes a second DSI — see
+    "Compute Backmatching", quick.param)."""
     B, H, W = disp.shape
     d_int = jnp.round(disp).astype(jnp.int32)
     xr = jnp.arange(W, dtype=jnp.int32)[None, None, :] - d_int
     in_img = (xr >= 0) & (xr < W)
     xr_c = jnp.clip(xr, 0, W - 1)
-    # occupancy vote: right pixel xr claims the disparity of the left
-    # pixel with minimal |round-trip error|; approximate by comparing to
-    # the left map gathered back at x - d(x) + d(x - d(x)).
     d_at_xr = jnp.take_along_axis(disp, xr_c, axis=2)
     consistent = jnp.abs(d_at_xr - disp) <= max_diff
     return disp, valid & in_img & consistent
