@@ -175,13 +175,21 @@ BENCHES = {
 }
 
 
+def _run_safe(name, fn):
+    try:
+        return fn()
+    except Exception as e:  # never leave the driver without a line
+        return {"metric": name, "value": 0.0, "unit": "frames/s",
+                "vs_baseline": 0.0, "error": repr(e)[:300]}
+
+
 def main():
     which = os.environ.get("BENCH_CONFIG", "flagship")
     if which == "all":
         for name, fn in BENCHES.items():
-            print(json.dumps(fn()))
+            print(json.dumps(_run_safe(name, fn)), flush=True)
         return
-    print(json.dumps(BENCHES[which]()))
+    print(json.dumps(_run_safe(which, BENCHES[which])), flush=True)
 
 
 if __name__ == "__main__":

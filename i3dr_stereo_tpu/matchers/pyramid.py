@@ -62,12 +62,14 @@ def _upsample2_disp(d: jax.Array, H: int, W: int) -> jax.Array:
 
 
 def shifted_census_cost(cl: jax.Array, cr: jax.Array, offset: jax.Array,
-                        K: int) -> tuple[jax.Array, jax.Array]:
+                        K: int, dtype=jnp.float32) -> tuple[jax.Array, jax.Array]:
     """Census hamming cost over a per-pixel disparity window.
 
     cl/cr: (B, H, W, nw) packed census. offset: (B, H, W) int32 — the
     window's base disparity (window spans offset .. offset+K-1).
-    Returns (C: (B,H,W,K) f32, valid).
+    Returns (C: (B,H,W,K), valid). dtype=uint8 uses the 255 sentinel for
+    invalid entries (the memory-lean Pallas path; hamming <= 80 < 255
+    for census windows up to 9x9; larger windows clamp at 254).
     """
     B, H, W, nw = cl.shape
     xs = jnp.arange(W, dtype=jnp.int32)[None, None, :]
@@ -77,8 +79,13 @@ def shifted_census_cost(cl: jax.Array, cr: jax.Array, offset: jax.Array,
     src_c = jnp.clip(src, 0, W - 1)
     crg = jnp.take_along_axis(cr[:, :, :, None, :], src_c[..., None], axis=2)
     x = jnp.bitwise_xor(cl[:, :, :, None, :], crg)
-    ham = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.float32)
-    return jnp.where(valid, ham, BIG), valid
+    ham = jnp.sum(jax.lax.population_count(x), axis=-1)
+    if dtype == jnp.uint8:
+        C = jnp.where(valid, jnp.minimum(ham, 254).astype(jnp.uint8),
+                      jnp.uint8(255))
+    else:
+        C = jnp.where(valid, ham.astype(jnp.float32), BIG)
+    return C, valid
 
 
 def profile_from_config(cfg: MatcherConfig) -> SGMProfile:
@@ -138,6 +145,12 @@ def pyramid_sgm_match(left, right, cfg: MatcherConfig,
         pyr_r.append(_downsample2(pyr_r[-1]))
 
     dirs = DIRECTIONS_4 if cfg.num_directions == 4 else DIRECTIONS_8
+    # memory-lean dtypes on the Pallas path (uint8 costs, int16 partials)
+    from i3dr_stereo_tpu.ops.sgm_dispatch import _backend
+
+    lean = _backend() in ("pallas", "pallas_interpret")
+    cost_dtype = jnp.uint8 if lean else jnp.float32
+    sum_dtype = jnp.int16 if lean else None
 
     disp = None        # current estimate at `cur_level` resolution
     valid = None
@@ -177,16 +190,20 @@ def pyramid_sgm_match(left, right, cfg: MatcherConfig,
             offset = jnp.round(pred).astype(jnp.int32) - K // 2
             offset = jnp.clip(offset, -K // 2, Wh - 1)
 
-        C, _ = shifted_census_cost(cl, cr, offset, K)
+        C, _ = shifted_census_cost(cl, cr, offset, K, dtype=cost_dtype)
         pens = tuple((p.p1[min(i, 3)], p.p2[min(i, 3)])
                      for i in range(len(dirs)))
-        S = sgm_aggregate(C, directions=dirs, per_direction_penalties=pens)
+        S = sgm_aggregate(C, directions=dirs, per_direction_penalties=pens,
+                          out_dtype=sum_dtype)
         finest = p.level == 0
         dk, ok = wta_disparity(S, 0, uniqueness_ratio=0.0,
                                subpixel=(finest and p.subpixel))
         disp = dk + offset.astype(jnp.float32)
         cur_level = p.level
-        valid = ok & (jnp.min(C, axis=-1) < BIG / 2)
+        if cost_dtype == jnp.uint8:
+            valid = ok & (jnp.min(C, axis=-1) < 255)
+        else:
+            valid = ok & (jnp.min(C, axis=-1) < BIG / 2)
 
         if p.backmatch:
             disp, valid = _roundtrip_check(disp, valid, p.backmatch_dist)

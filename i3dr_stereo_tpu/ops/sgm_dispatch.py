@@ -31,14 +31,22 @@ def _backend() -> str:
 
 def sgm_aggregate_auto(C, p1: float = 10.0, p2: float = 120.0,
                        directions: Sequence[Tuple[int, int]] = DIRECTIONS_8,
-                       per_direction_penalties=None):
+                       per_direction_penalties=None, out_dtype=None):
     b = _backend()
     if b == "pallas":
         return sgm_aggregate_pallas(C, p1, p2, tuple(directions),
-                                    per_direction_penalties)
+                                    per_direction_penalties,
+                                    out_dtype=out_dtype)
     if b == "pallas_interpret":
         return sgm_aggregate_pallas(C, p1, p2, tuple(directions),
-                                    per_direction_penalties, interpret=True)
+                                    per_direction_penalties,
+                                    out_dtype=out_dtype, interpret=True)
+    if C.dtype == "uint8":
+        import jax.numpy as jnp
+
+        from i3dr_stereo_tpu.ops.sgm_pallas import U8_SENTINEL
+
+        C = jnp.where(C == U8_SENTINEL, 1.0e9, C.astype(jnp.float32))
     return sgm_aggregate(C, p1, p2, tuple(directions),
                          per_direction_penalties=per_direction_penalties
                          if per_direction_penalties is None

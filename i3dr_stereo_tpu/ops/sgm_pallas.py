@@ -4,9 +4,11 @@ Same contract as :func:`i3dr_stereo_tpu.ops.sgm.sgm_aggregate` (the XLA
 `lax.scan` reference — tests assert near-bit-equality), engineered for
 the chip:
 
-- **Horizontal kernel** — grid over (batch, row-tiles); both horizontal
-  directions (W->E, E->W) computed in one kernel instance over the same
-  VMEM-resident cost tile, so C is read from HBM once for two paths.
+- **Horizontal kernel** — grid (batch, row-tiles, W-chunks) with the W
+  dimension sequential and a persistent (rows, D) carry in VMEM scratch;
+  row tiles are tall (up to 128), so each recurrence step is a (TH, D)
+  VPU block. The reverse direction reuses the kernel with a reversed
+  chunk index_map.
 - **Vertical/diagonal kernel** — grid over (batch, rows) executed
   sequentially; the per-direction carries L_r(row-1, :, :) persist in
   VMEM scratch across grid steps. Diagonal paths are the same row scan
@@ -16,22 +18,27 @@ the chip:
 - The disparity axis lives on the 128-lane minor dimension; the d+-1
   neighbour terms are lane rolls; min_d is a lane reduction.
 
+**Memory-dtype engineering** (HBM bandwidth is the bound): the cost
+volume may be uint8 (census hamming <= 80 for 9x9) with 255 as the
+invalid sentinel, and the aggregated output int16 — 1/4 and 1/2 the
+traffic of float32. Compute is always f32 in VMEM (values < 2^24 stay
+exact integers), per-pass partial sums are clamped to CLAMP so the
+int16 sum of all passes cannot overflow; real costs sit far below the
+clamp, so only invalid entries saturate (and remain maximal, never
+winning WTA).
+
 Direction groups (same partition as the reference engine's four
-"SGM <dir> Optimization" switches, ini/quick.param:144-147, each of
-which is a bidirectional optimization):
+"SGM <dir> Optimization" switches, ini/quick.param:144-147):
 
-    horizontal: (0,1), (0,-1)          1 kernel launch
-    top-down:   (1,0), (1,1), (1,-1)   1 launch (carries: 1 per dir)
-    bottom-up:  (-1,0), (-1,-1), (-1,1) 1 launch
-
-VMEM use per launch ~ (2 x C/S row blocks x double buffering +
-carries); the row-tile height adapts to stay under budget.
+    horizontal: (0,1), (0,-1)            2 launches (fwd/rev index map)
+    top-down:   (1,0), (1,1), (1,-1)     1 launch (1 carry per dir)
+    bottom-up:  (-1,0), (-1,-1), (-1,1)  1 launch
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,10 +46,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1.0e9
+U8_SENTINEL = 255          # invalid-cost marker in uint8 volumes
+CLAMP = 10000.0            # per-pass partial-sum clamp for int16 outputs
 
 _HORIZ = ((0, 1), (0, -1))
 _TOPDOWN = ((1, 0), (1, 1), (1, -1))
 _BOTTOMUP = ((-1, 0), (-1, -1), (-1, 1))
+
+
+def _load_cost(c, sentinel: bool):
+    """Raw block -> f32 costs; uint8 sentinel 255 -> BIG."""
+    f = c.astype(jnp.float32)
+    if sentinel:
+        f = jnp.where(c == U8_SENTINEL, BIG, f)
+    return f
+
+
+def _store_sum(total, out_dtype):
+    if out_dtype == jnp.float32:
+        return total
+    return jnp.minimum(total, CLAMP).astype(out_dtype)
 
 
 def _step(prev, c, p1, p2, D):
@@ -59,17 +82,11 @@ def _step(prev, c, p1, p2, D):
 
 
 # ---------------------------------------------------------------------------
-# horizontal kernel: both directions over one VMEM-resident row tile
+# horizontal kernel
 # ---------------------------------------------------------------------------
 
-def _lr_kernel(c_ref, s_ref, carry_ref, *, p1, p2, WC, D, forward: bool):
-    """One W-chunk of the horizontal scan over a tall row tile.
-
-    Grid is (B, H/TH, W/WC) with the W dimension iterated sequentially;
-    the (TH, D) carry persists in scratch across chunks. TH is large
-    (up to 128 rows) so each recurrence step is a (TH, D) VPU block —
-    the scan's serial axis costs W steps, everything else is vector.
-    """
+def _lr_kernel(c_ref, s_ref, carry_ref, *, p1, p2, WC, D, forward: bool,
+               sentinel: bool, out_dtype):
     chunk = pl.program_id(2)
 
     @pl.when(chunk == 0)
@@ -78,18 +95,18 @@ def _lr_kernel(c_ref, s_ref, carry_ref, *, p1, p2, WC, D, forward: bool):
 
     def body(i, carry):
         x = i if forward else WC - 1 - i
-        c = c_ref[0, :, x, :]
+        c = _load_cost(c_ref[0, :, x, :], sentinel)
         L = _step(carry, c, p1, p2, D)
-        s_ref[0, :, x, :] = L
+        s_ref[0, :, x, :] = _store_sum(L, out_dtype)
         return L
 
     carry_ref[:] = jax.lax.fori_loop(0, WC, body, carry_ref[:])
 
 
-def _pick_tiles(H: int, W: int, D: int,
+def _pick_tiles(H: int, W: int, D: int, itemsize: int,
                 budget_bytes: int = 6 * 1024 * 1024) -> Tuple[int, int]:
     """Choose (TH, WC): tall row tiles, W chunks sized to the VMEM budget
-    (C block + S block, double-buffered => 4x block size resident).
+    (C block + S block + f32 working set, double-buffered).
 
     Constraint: the last two block dims are (WC, D), so WC must be a
     multiple of 8 (or the full W); callers pre-pad W to a multiple of 8.
@@ -97,7 +114,8 @@ def _pick_tiles(H: int, W: int, D: int,
     th = 128
     while th > 1 and H % th:
         th //= 2
-    wc = max(8, budget_bytes // (th * D * 4 * 4) // 8 * 8)
+    per_elem = 2 * itemsize + 8  # C + S blocks double-buffered + carry/f32
+    wc = max(8, budget_bytes // (th * D * per_elem) // 8 * 8)
     wc = min(wc, W)
     while wc > 8 and W % wc:
         wc -= 8
@@ -106,12 +124,15 @@ def _pick_tiles(H: int, W: int, D: int,
     return th, wc
 
 
-@functools.partial(jax.jit, static_argnames=("p1", "p2", "forward", "interpret"))
-def _horizontal_pass(C, p1, p2, forward: bool, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("p1", "p2", "forward", "sentinel",
+                                             "out_dtype", "interpret"))
+def _horizontal_pass(C, p1, p2, forward: bool, sentinel: bool = False,
+                     out_dtype=jnp.float32, interpret: bool = False):
     B, H, W, D = C.shape
-    th, wc = _pick_tiles(H, W, D)
+    th, wc = _pick_tiles(H, W, D, C.dtype.itemsize)
     kern = functools.partial(_lr_kernel, p1=p1, p2=p2, WC=wc, D=D,
-                             forward=forward)
+                             forward=forward, sentinel=sentinel,
+                             out_dtype=out_dtype)
     if forward:
         index_map = lambda b, i, j: (b, i, j, 0)
     else:
@@ -122,17 +143,18 @@ def _horizontal_pass(C, p1, p2, forward: bool, interpret: bool = False):
         grid=(B, H // th, W // wc),
         in_specs=[spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(C.shape, out_dtype),
         scratch_shapes=[pltpu.VMEM((th, D), jnp.float32)],
         interpret=interpret,
     )(C)
 
 
 # ---------------------------------------------------------------------------
-# vertical/diagonal kernel: sequential row sweep with persistent carries
+# vertical/diagonal kernel
 # ---------------------------------------------------------------------------
 
-def _vert_kernel(c_ref, s_ref, *carries, p1, p2, shifts, W, D):
+def _vert_kernel(c_ref, s_ref, *carries, p1, p2, shifts, W, D,
+                 sentinel: bool, out_dtype):
     row = pl.program_id(1)
 
     @pl.when(row == 0)
@@ -140,7 +162,7 @@ def _vert_kernel(c_ref, s_ref, *carries, p1, p2, shifts, W, D):
         for cr in carries:
             cr[:] = jnp.zeros_like(cr)
 
-    c = c_ref[0, 0]  # (W, D)
+    c = _load_cost(c_ref[0, 0], sentinel)  # (W, D)
     total = None
     for cr, sh in zip(carries, shifts):
         prev = cr[:]
@@ -153,14 +175,17 @@ def _vert_kernel(c_ref, s_ref, *carries, p1, p2, shifts, W, D):
         L = _step(prev, c, p1, p2, D)
         cr[:] = L
         total = L if total is None else total + L
-    s_ref[0, 0] = total
+    s_ref[0, 0] = _store_sum(total, out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("p1", "p2", "shifts", "reverse", "interpret"))
+@functools.partial(jax.jit, static_argnames=("p1", "p2", "shifts", "reverse",
+                                             "sentinel", "out_dtype", "interpret"))
 def _vertical_pass(C, p1, p2, shifts: Tuple[int, ...], reverse: bool,
+                   sentinel: bool = False, out_dtype=jnp.float32,
                    interpret: bool = False):
     B, H, W, D = C.shape
-    kern = functools.partial(_vert_kernel, p1=p1, p2=p2, shifts=shifts, W=W, D=D)
+    kern = functools.partial(_vert_kernel, p1=p1, p2=p2, shifts=shifts, W=W,
+                             D=D, sentinel=sentinel, out_dtype=out_dtype)
     if reverse:
         index_map = lambda b, i: (b, H - 1 - i, 0, 0)
     else:
@@ -171,7 +196,7 @@ def _vertical_pass(C, p1, p2, shifts: Tuple[int, ...], reverse: bool,
         grid=(B, H),
         in_specs=[spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(C.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(C.shape, out_dtype),
         scratch_shapes=[pltpu.VMEM((W, D), jnp.float32) for _ in shifts],
         interpret=interpret,
     )(C)
@@ -181,20 +206,22 @@ def _vertical_pass(C, p1, p2, shifts: Tuple[int, ...], reverse: bool,
 # public entry
 # ---------------------------------------------------------------------------
 
-def _vmem_ok_vertical(W: int, D: int, n_carries: int) -> bool:
-    # carries + C/S blocks (double-buffered)
-    need = (n_carries + 4) * W * D * 4
+def _vmem_ok_vertical(W: int, D: int, n_carries: int, itemsize: int) -> bool:
+    need = (n_carries + 2) * W * D * 4 + 2 * W * D * itemsize
     return need < 14 * 1024 * 1024
 
 
 def sgm_aggregate_pallas(C: jax.Array, p1: float = 10.0, p2: float = 120.0,
                          directions: Sequence[Tuple[int, int]] = None,
                          per_direction_penalties=None,
+                         out_dtype=None,
                          interpret: bool = False) -> jax.Array:
     """Drop-in Pallas replacement for ops.sgm.sgm_aggregate.
 
-    C: (B, H, W, D) or (H, W, D) float32 cost volume; returns the summed
-    path costs S with identical semantics to the XLA reference.
+    C: (B, H, W, D) or (H, W, D) cost volume — float32, or uint8 with
+    255 = invalid sentinel. Returns the summed path costs S
+    (float32 by default; pass out_dtype=jnp.int16 for census-scale costs
+    to halve output traffic — values are exact small integers).
     """
     from i3dr_stereo_tpu.ops.sgm import DIRECTIONS_8
 
@@ -203,23 +230,27 @@ def sgm_aggregate_pallas(C: jax.Array, p1: float = 10.0, p2: float = 120.0,
     directions = tuple(directions)
     batched = C.ndim == 4
     Cb = C if batched else C[None]
-    Cb = Cb.astype(jnp.float32)
+    sentinel = Cb.dtype == jnp.uint8
+    if not sentinel:
+        Cb = Cb.astype(jnp.float32)
+    if out_dtype is None:
+        out_dtype = jnp.float32
     B, H, W, D = Cb.shape
     # Spatial padding to tile-friendly sizes with ZERO cost: a zero-cost
     # border column/row gives L == 0 there, so a scan entering the real
     # image from padding carries exactly the edge-start semantics of the
     # unpadded recurrence (min(0, p1, p2) - 0 == 0 => L = C). Disparity
-    # padding uses BIG so padded lanes never win and the d+-1 rolls see
-    # the same BIG as the explicit edge masks.
+    # padding uses the invalid value so padded lanes never win and the
+    # d+-1 rolls see the same invalid as the explicit edge masks.
     padH = (H + 7) // 8 * 8
     padW = (W + 7) // 8 * 8
     padD = (D + 127) // 128 * 128
     if (padH, padW, padD) != (H, W, D):
         Cb = jnp.pad(Cb, ((0, 0), (0, padH - H), (0, padW - W), (0, 0)),
-                     constant_values=0.0)
+                     constant_values=0)
         if padD != D:
             Cb = jnp.pad(Cb, ((0, 0), (0, 0), (0, 0), (0, padD - D)),
-                         constant_values=BIG)
+                         constant_values=U8_SENTINEL if sentinel else BIG)
 
     pen = {d: (p1, p2) for d in directions}
     if per_direction_penalties is not None:
@@ -229,14 +260,18 @@ def sgm_aggregate_pallas(C: jax.Array, p1: float = 10.0, p2: float = 120.0,
 
     def add(part):
         nonlocal S
-        S = part if S is None else S + part
+        if S is None:
+            S = part if out_dtype == jnp.float32 else part.astype(jnp.int32)
+        else:
+            S = S + (part if out_dtype == jnp.float32 else part.astype(jnp.int32))
 
     # horizontal group: one launch per direction (reverse via index_map)
     for d in _HORIZ:
         if d in directions:
             pp1, pp2 = pen[d]
             add(_horizontal_pass(Cb, float(pp1), float(pp2),
-                                 forward=(d == (0, 1)), interpret=interpret))
+                                 forward=(d == (0, 1)), sentinel=sentinel,
+                                 out_dtype=out_dtype, interpret=interpret))
 
     # vertical groups
     for family, reverse in ((_TOPDOWN, False), (_BOTTOMUP, True)):
@@ -248,13 +283,15 @@ def sgm_aggregate_pallas(C: jax.Array, p1: float = 10.0, p2: float = 120.0,
             groups.setdefault(pen[d], []).append(d)
         for (pp1, pp2), ds in groups.items():
             shifts = tuple(d[1] for d in ds)
-            if _vmem_ok_vertical(W, padD, len(shifts)):
+            if _vmem_ok_vertical(W, padD, len(shifts), Cb.dtype.itemsize):
                 add(_vertical_pass(Cb, float(pp1), float(pp2), shifts, reverse,
+                                   sentinel=sentinel, out_dtype=out_dtype,
                                    interpret=interpret))
             else:
                 for sh in shifts:
                     add(_vertical_pass(Cb, float(pp1), float(pp2), (sh,),
-                                       reverse, interpret=interpret))
+                                       reverse, sentinel=sentinel,
+                                       out_dtype=out_dtype, interpret=interpret))
 
     if (padH, padW, padD) != (H, W, D):
         S = S[:, :H, :W, :D]

@@ -31,9 +31,16 @@ def wta_disparity(S: jax.Array, min_disparity: int = 0, *,
     are invalid.
     """
     D = S.shape[-1]
+    if not jnp.issubdtype(S.dtype, jnp.floating):
+        # integer aggregates (uint8-cost path): saturated-invalid entries
+        # sit at >= CLAMP per pass; callers also carry a cost-level valid
+        S = S.astype(jnp.float32)
+        invalid_level = 9999.0
+    else:
+        invalid_level = BIG / 2
     best = jnp.argmin(S, axis=-1)
     Sbest = jnp.min(S, axis=-1)
-    valid = Sbest < BIG / 2
+    valid = Sbest < invalid_level
 
     if uniqueness_ratio > 0:
         d_idx = jnp.arange(D)

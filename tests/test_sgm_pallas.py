@@ -64,3 +64,25 @@ def test_pallas_unbatched_input():
     ours = np.asarray(sgm_aggregate_pallas(C, 2.0, 15.0, DIRECTIONS_4,
                                            interpret=True))
     np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_pallas_uint8_cost_int16_out():
+    """uint8 census-scale costs with 255 sentinel, int16 partial sums."""
+    import jax.numpy as jnp2
+
+    rng = np.random.default_rng(7)
+    C8 = rng.integers(0, 80, (1, 10, 12, 6)).astype(np.uint8)
+    C8[:, :, :2, 3:] = 255  # invalid entries
+    Cf = np.where(C8 == 255, 1.0e9, C8.astype(np.float32))
+    ref = np.asarray(sgm_aggregate(jnp.asarray(Cf), 3.0, 20.0, DIRECTIONS_4))
+    ours = np.asarray(sgm_aggregate_pallas(jnp.asarray(C8), 3.0, 20.0,
+                                           DIRECTIONS_4,
+                                           out_dtype=jnp2.int16,
+                                           interpret=True))
+    assert ours.dtype == np.int32  # partials int16, accumulated in int32
+    real = Cf < 1e8
+    # everywhere all-direction-valid, the int sums must match exactly
+    valid_all = ref < 1e8
+    np.testing.assert_allclose(ours[valid_all], ref[valid_all], atol=0.5)
+    # sentinel entries saturate high
+    assert (ours[~valid_all] >= 10000).all()
