@@ -1,0 +1,67 @@
+import numpy as np
+import pytest
+
+from i3dr_stereo_tpu.config.params import ALGORITHM_DEFAULTS, Algorithm, PointCloudConfig
+from i3dr_stereo_tpu.core.camera import StereoRig
+from i3dr_stereo_tpu.dist.mesh import make_mesh
+from i3dr_stereo_tpu.dist.multihost import global_frame_batch, measure_scaling
+from i3dr_stereo_tpu.dist.sharded import make_sharded_matcher
+from i3dr_stereo_tpu.io.synthetic import layered_scene
+from i3dr_stereo_tpu.pipeline.pairing import Stamped
+from i3dr_stereo_tpu.pipeline.runner import StreamRunner
+from i3dr_stereo_tpu.pipeline.stereo_pipeline import StereoPipeline
+
+
+def test_stream_runner_batches_and_sinks():
+    rig = StereoRig.synthetic(96, 80, fx=100.0)
+    cfg = ALGORITHM_DEFAULTS[Algorithm.SGBM].replace(disparity_range=16,
+                                                     speckle_size=0)
+    pipe = StereoPipeline(rig=rig, config=cfg, rectify_inputs=False,
+                          compute_points=False,
+                          cloud=PointCloudConfig(depth_max=1000.0))
+    runner = StreamRunner(pipe, batch_size=2)
+
+    scenes = [layered_scene(80, 96, max_disp=12, seed=i) for i in range(5)]
+    pairs = [(Stamped(i * 0.2, s.left, i), Stamped(i * 0.2, s.right, i))
+             for i, s in enumerate(scenes)]
+    sunk = []
+    stats = runner.run(iter(pairs), lambda st, n, res: sunk.append((st, n, res)))
+    assert stats.frames_in == 5
+    assert stats.frames_out == 5
+    assert stats.batches == 3  # 2 + 2 + padded 1
+    # results numerically sane
+    st, n, res = sunk[0]
+    d = np.asarray(res.disparity)
+    v = np.asarray(res.valid)[0] & scenes[0].valid
+    assert np.median(np.abs(d[0] - scenes[0].disparity)[v]) < 0.5
+    assert "dispatch" in runner.metrics.summary()["stages"]
+
+
+def test_global_frame_batch_sharding(cpu_devices):
+    mesh = make_mesh(4, 1)
+    L = np.random.default_rng(0).uniform(0, 255, (8, 16, 24)).astype(np.float32)
+    R = L.copy()
+    gl, gr = global_frame_batch(mesh, L, R)
+    assert gl.shape == (8, 16, 24)
+    np.testing.assert_allclose(np.asarray(gl), L)
+    # sharded over the data axis
+    assert len(gl.sharding.device_set) == 4
+
+
+def test_measure_scaling_runs(cpu_devices):
+    cfg = ALGORITHM_DEFAULTS[Algorithm.BM].replace(disparity_range=16,
+                                                   speckle_size=0)
+
+    def factory(mesh):
+        return make_sharded_matcher(cfg, mesh, halo=0)
+
+    def make_batch(n):
+        sc = layered_scene(32, 48, max_disp=8, background_disp=4)
+        L = np.stack([sc.left] * (2 * n))
+        R = np.stack([sc.right] * (2 * n))
+        return L, R
+
+    res = measure_scaling(factory, make_batch, [1, 2, 4], iters=2)
+    assert set(res) == {1, 2, 4}
+    for n, row in res.items():
+        assert row["frames_per_s"] > 0
