@@ -167,11 +167,115 @@ def bench_pipeline_batch():
             "value": round(B / dt, 3), "unit": "frames/s", "vs_baseline": None}
 
 
+def bench_sgm_direct_2448():
+    """BASELINE config 3 taken literally: direct (non-pyramid) census SGM
+    over the full 256-disparity range at 2448x2048, uint8 costs + int16
+    partial sums, 4 paths, LR-check + speckle fused."""
+    import jax
+    import jax.numpy as jnp
+
+    from i3dr_stereo_tpu.ops.census import census_transform
+    from i3dr_stereo_tpu.ops.lr_check import lr_consistency
+    from i3dr_stereo_tpu.ops.sgm import DIRECTIONS_4
+    from i3dr_stereo_tpu.ops.sgm_dispatch import sgm_aggregate_auto
+    from i3dr_stereo_tpu.ops.shift import gather_disparity_shifted
+    from i3dr_stereo_tpu.ops.speckle import speckle_filter
+    from i3dr_stereo_tpu.ops.wta import wta_disparity
+
+    H, W, D = 2048, 2448, 256
+
+    def fn(l, r):
+        cl = census_transform(l, 9, 9)
+        cr = census_transform(r, 9, 9)
+        Rg, valid = gather_disparity_shifted(cr, 0, D)
+        x = jnp.bitwise_xor(cl[..., None, :], Rg)
+        ham = jnp.sum(jax.lax.population_count(x), axis=-1)
+        C = jnp.where(valid, jnp.minimum(ham, 254).astype(jnp.uint8),
+                      jnp.uint8(255))
+        S = sgm_aggregate_auto(C, 10.0, 120.0, DIRECTIONS_4,
+                               out_dtype=jnp.int16)
+        disp, ok = wta_disparity(S, 0, uniqueness_ratio=10.0, subpixel=True)
+        ok = ok & (jnp.min(C, axis=-1) < 255)
+        disp, ok = lr_consistency(disp, ok, S.astype(jnp.float32), 0, 1.5)
+        ok = speckle_filter(disp, ok, max_size=100, max_diff=0.5)
+        return jnp.where(ok, disp, -10000.0)
+
+    l, r = _synthetic_pair(H, W)
+    jfn = __import__("jax").jit(fn)
+    dt = _time_fn(jfn, (jax.device_put(l[None]), jax.device_put(r[None])),
+                  iters=3)
+    return {"metric": "sgm_direct_fps_2448x2048_256d", "value": round(1 / dt, 3),
+            "unit": "frames/s", "vs_baseline": round(1 / dt / BASELINE_FPS, 3)}
+
+
+def bench_stages():
+    """Stage-level timing at full resolution (diagnosis aid; prints one
+    line per stage, not driver-facing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from i3dr_stereo_tpu.matchers.pyramid import shifted_census_cost
+    from i3dr_stereo_tpu.ops.census import census_transform
+    from i3dr_stereo_tpu.ops.sgm import DIRECTIONS_4
+    from i3dr_stereo_tpu.ops.sgm_pallas import sgm_aggregate_pallas
+    from i3dr_stereo_tpu.ops.wta import wta_disparity
+    from i3dr_stereo_tpu.ops.speckle import speckle_filter
+    from i3dr_stereo_tpu.ops.median import median3x3
+
+    H, W, K = 2048, 2448, 32
+    l, r = _synthetic_pair(H, W)
+    L = jax.device_put(l[None])
+    R = jax.device_put(r[None])
+    out = {}
+
+    f_census = jax.jit(lambda x: census_transform(x, 9, 9))
+    out["census_9x9"] = _time_fn(f_census, (L,), iters=3)
+
+    CL = f_census(L)
+    CR = f_census(R)
+    offset = jnp.zeros((1, H, W), jnp.int32)
+
+    f_cost = jax.jit(lambda cl: shifted_census_cost(cl, CR, offset, K,
+                                                    dtype=jnp.uint8)[0])
+    # cost gather needs a float input for the timing bump: wrap
+    f_cost_t = jax.jit(lambda x: shifted_census_cost(
+        f_census(x), CR, offset, K, dtype=jnp.uint8)[0])
+    out["cost_gather_K32"] = _time_fn(f_cost_t, (L,), iters=3)
+
+    C = f_cost(CL)
+    Cf = jnp.where(C == 255, 1e9, C.astype(jnp.float32))
+
+    f_sgm = jax.jit(lambda c: sgm_aggregate_pallas(
+        jnp.minimum(c, 254).astype(jnp.uint8), 0.1 * 80, 0.8 * 80,
+        DIRECTIONS_4, out_dtype=jnp.int16))
+    out["sgm4_K32_u8"] = _time_fn(f_sgm, (C.astype(jnp.float32),), iters=3)
+
+    S = f_sgm(C.astype(jnp.float32))
+    f_wta = jax.jit(lambda s: wta_disparity(s, 0, uniqueness_ratio=0.0,
+                                            subpixel=True)[0])
+    out["wta"] = _time_fn(f_wta, (S.astype(jnp.float32),), iters=3)
+
+    disp = f_wta(S.astype(jnp.float32))
+    f_med = jax.jit(median3x3)
+    out["median3x3"] = _time_fn(f_med, (disp,), iters=3)
+
+    f_spk = jax.jit(lambda d: speckle_filter(d, jnp.ones(d.shape, bool),
+                                             max_size=100, max_diff=0.5))
+    out["speckle"] = _time_fn(f_spk, (disp,), iters=2)
+
+    for k, v in out.items():
+        print(json.dumps({"metric": f"stage_{k}_ms", "value": round(v * 1e3, 3),
+                          "unit": "ms", "vs_baseline": None}))
+    return {"metric": "stages_done", "value": 1, "unit": "", "vs_baseline": None}
+
+
 BENCHES = {
     "flagship": bench_flagship,
     "sgbm_1280": bench_sgbm_1280,
     "bm_640": bench_bm_640,
     "pipeline_batch": bench_pipeline_batch,
+    "sgm_direct_2448": bench_sgm_direct_2448,
+    "stages": bench_stages,
 }
 
 
