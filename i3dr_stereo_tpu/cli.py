@@ -160,6 +160,38 @@ def cmd_live(args) -> int:
     return 0
 
 
+def cmd_calibrate(args) -> int:
+    import glob
+
+    import cv2
+
+    from i3dr_stereo_tpu.io.calib_store import CalibrationStore
+    from i3dr_stereo_tpu.io.calibrate import ChessboardSpec, calibrate_stereo
+
+    lefts = [cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+             for p in sorted(glob.glob(os.path.join(args.directory, "l_*.png")))]
+    rights = [cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+              for p in sorted(glob.glob(os.path.join(args.directory, "r_*.png")))]
+    if not lefts or len(lefts) != len(rights):
+        print("need matching l_*.png / r_*.png views", file=sys.stderr)
+        return 2
+    board = ChessboardSpec(cols=args.cols, rows=args.rows,
+                           square_size=args.square)
+    rig, diag = calibrate_stereo(lefts, rights, board)
+    store = CalibrationStore(args.store)
+    paths = store.save_rig(args.name, rig)
+    print(json.dumps({**diag, "saved": paths}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    os.environ["BENCH_CONFIG"] = args.config
+    import bench
+
+    bench.main()
+    return 0
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -200,6 +232,19 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("info", help="print environment info")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("calibrate", help="stereo-calibrate from chessboard images")
+    p.add_argument("directory", help="dir with l_*.png / r_*.png chessboard views")
+    p.add_argument("--cols", type=int, default=9)
+    p.add_argument("--rows", type=int, default=6)
+    p.add_argument("--square", type=float, default=0.025)
+    p.add_argument("--name", default="stereo")
+    p.add_argument("--store", default=None, help="calibration store directory")
+    p.set_defaults(fn=cmd_calibrate)
+
+    p = sub.add_parser("bench", help="run a benchmark config")
+    p.add_argument("--config", default="flagship")
+    p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
     return args.fn(args)
