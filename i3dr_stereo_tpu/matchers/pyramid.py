@@ -173,13 +173,15 @@ def pyramid_sgm_match(left, right, cfg: MatcherConfig,
             continue
 
         K = max(8, p.num_disparities + 1)  # odd profile count -> even window
-        cl = census_transform(ll, p.census_h, p.census_w)
-        cr = census_transform(rr, p.census_h, p.census_w)
+        pens = tuple((p.p1[min(i, 3)], p.p2[min(i, 3)])
+                     for i in range(len(dirs)))
 
         if disp is None:
-            base = int(round(cfg.min_disparity / (2 ** p.level)
-                             + p.prediction_shift))
-            offset = jnp.full((Bh, Hh, Wh), base, jnp.int32)
+            base_val = int(round(cfg.min_disparity / (2 ** p.level)
+                                 + p.prediction_shift))
+            offset = jnp.full((Bh, Hh, Wh), base_val, jnp.int32)
+            rw = rr
+            fused_base = base_val
         else:
             pred = disp
             while cur_level > p.level:
@@ -187,23 +189,55 @@ def pyramid_sgm_match(left, right, cfg: MatcherConfig,
                                        pyr_l[cur_level - 1].shape[2])
                 cur_level -= 1
             pred = median3x3(pred)  # align neighbouring windows
-            offset = jnp.round(pred).astype(jnp.int32) - K // 2
-            offset = jnp.clip(offset, -K // 2, Wh - 1)
+            pred_int = jnp.round(pred).astype(jnp.int32)
+            pred_int = jnp.clip(pred_int, 0, Wh - 1)
+            offset = pred_int - K // 2
+            if lean:
+                # warp the right image by the prediction; the residual
+                # search window is then UNIFORM (base -K//2), which the
+                # fused no-gather kernel handles directly
+                xs = jnp.arange(Wh, dtype=jnp.int32)[None, None, :]
+                src = jnp.clip(xs - pred_int, 0, Wh - 1)
+                rw = jnp.take_along_axis(rr, src, axis=2)
+            fused_base = -(K // 2)
 
-        C, _ = shifted_census_cost(cl, cr, offset, K, dtype=cost_dtype)
-        pens = tuple((p.p1[min(i, 3)], p.p2[min(i, 3)])
-                     for i in range(len(dirs)))
-        S = sgm_aggregate(C, directions=dirs, per_direction_penalties=pens,
-                          out_dtype=sum_dtype)
+        if lean:
+            from i3dr_stereo_tpu.ops.fused_cost_sgm import fused_census_sgm
+
+            # pad to lane/sublane-friendly sizes (odd pyramid levels)
+            H8 = (Hh + 7) // 8 * 8
+            W8 = (Wh + 7) // 8 * 8
+            ll_p = jnp.pad(ll, ((0, 0), (0, H8 - Hh), (0, W8 - Wh)), mode="edge")
+            rw_p = jnp.pad(rw if disp is not None else rr,
+                           ((0, 0), (0, H8 - Hh), (0, W8 - Wh)), mode="edge")
+            cl = census_transform(ll_p, p.census_h, p.census_w)
+            cr = census_transform(rw_p, p.census_h, p.census_w)
+            interp_mode = _backend() == "pallas_interpret"
+            S, C = fused_census_sgm(cl, cr, K, base=fused_base,
+                                    per_direction_penalties=pens,
+                                    directions=dirs, out_dtype=jnp.int16,
+                                    interpret=interp_mode)
+            S = S[:, :Hh, :Wh]
+            C = C[:, :Hh, :Wh]
+        else:
+            cl = census_transform(ll, p.census_h, p.census_w)
+            cr = census_transform(rr, p.census_h, p.census_w)
+            C, _ = shifted_census_cost(cl, cr, offset, K, dtype=cost_dtype)
+            S = sgm_aggregate(C, directions=dirs, per_direction_penalties=pens,
+                              out_dtype=sum_dtype)
         finest = p.level == 0
         dk, ok = wta_disparity(S, 0, uniqueness_ratio=0.0,
                                subpixel=(finest and p.subpixel))
         disp = dk + offset.astype(jnp.float32)
         cur_level = p.level
-        if cost_dtype == jnp.uint8:
+        if C.dtype == jnp.uint8:
             valid = ok & (jnp.min(C, axis=-1) < 255)
         else:
             valid = ok & (jnp.min(C, axis=-1) < BIG / 2)
+        # matched right column must land inside the image
+        xs_v = jnp.arange(Wh, dtype=jnp.int32)[None, None, :]
+        rcol = xs_v - jnp.round(disp).astype(jnp.int32)
+        valid = valid & (rcol >= 0) & (rcol < Wh)
 
         if p.backmatch:
             disp, valid = _roundtrip_check(disp, valid, p.backmatch_dist)

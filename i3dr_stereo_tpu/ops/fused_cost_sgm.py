@@ -15,26 +15,29 @@ directions, and aggregates its own L_r in the same pass. HBM traffic for
 C becomes 1 write + 3 reads instead of gather-write + 4 reads.
 
 A per-row-tile base offset (prefetched scalars) supports the pyramid's
-predicted windows: slice start W-1-x+base. Offsets are per row-tile
-constant, so the scan carry never needs re-alignment mid-row.
+predicted windows: slice start W-1-x+base+min_disp. Offsets are
+constant within a row tile, so the scan carry never needs re-alignment
+mid-row.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from i3dr_stereo_tpu.ops.sgm_pallas import _step, _store_sum, BIG, U8_SENTINEL
+from i3dr_stereo_tpu.ops.sgm_pallas import BIG, U8_SENTINEL, _step, _store_sum
+
+PAD_LEFT = 64  # covers negative window bases down to -PAD_LEFT
 
 
 def _fused_fwd_kernel(base_ref, *refs, p1, p2, W, WC, D, NW, min_disp,
-                      out_dtype):
-    """refs = cl_word refs (NW) + cr_rev_word refs (NW) + [c_out, s_out]
+                      out_dtype, padded_w):
+    """refs = cl word refs (NW) + cr_rev word refs (NW) + c_out + s_out
     + carry scratch. Grid (B, H/TH, W/WC), W sequential."""
     cl_refs = refs[:NW]
     cr_refs = refs[NW:2 * NW]
@@ -43,7 +46,7 @@ def _fused_fwd_kernel(base_ref, *refs, p1, p2, W, WC, D, NW, min_disp,
 
     chunk = pl.program_id(2)
     tile = pl.program_id(1)
-    base = base_ref[tile]  # per-row-tile window base disparity
+    base = base_ref[tile]
 
     @pl.when(chunk == 0)
     def _():
@@ -54,16 +57,15 @@ def _fused_fwd_kernel(base_ref, *refs, p1, p2, W, WC, D, NW, min_disp,
 
     def body(i, carry):
         x = chunk * WC + i  # global column
-        # slice start into reversed right census (padded by D zeros)
-        s = W - 1 - x + base + min_disp
+        s = W - 1 - x + base + min_disp + PAD_LEFT
+        s = jnp.clip(s, 0, padded_w - D)
         ham = jnp.zeros((th, D), jnp.int32)
         for wi in range(NW):
-            cx = cl_refs[wi][0, :, pl.ds(x - chunk * WC, 1)]       # (th, 1)
-            seg = cr_refs[wi][0, :, pl.ds(s, D)]                    # (th, D)
+            cx = cl_refs[wi][0, :, pl.ds(i, 1)]                 # (th, 1)
+            seg = cr_refs[wi][0, :, pl.ds(s, D)]                # (th, D)
             ham = ham + jax.lax.population_count(
                 jnp.bitwise_xor(cx, seg)).astype(jnp.int32)
-        # validity: right column x - (base + min_disp + d) must be >= 0
-        # and < W  =>  d <= x - base - min_disp  and  d > x - base - W + ...
+        # validity: right column x - (base + min_disp + d) must be in image
         dmax = x - base - min_disp
         valid = lane <= dmax
         c = jnp.where(valid, ham.astype(jnp.float32), BIG)
@@ -86,16 +88,18 @@ def fused_census_horizontal(cl_words: jax.Array, cr_words: jax.Array,
                             ) -> Tuple[jax.Array, jax.Array]:
     """Build the cost volume and the forward-horizontal L_r in one pass.
 
-    cl_words/cr_words: (NW, B, H, W) uint32 census word-planes (right one
-    NOT reversed — reversal happens here). base: (B, H//th) int32 window
-    base offsets per row tile (zeros for full-range matching).
-    Returns (C uint8 (B,H,W,D), S_fwd out_dtype (B,H,W,D)).
+    cl_words/cr_words: (NW, B, H, W) uint32 census word-planes (the right
+    one un-reversed — reversal happens here). base: (H//th,) or
+    (B, H//th) int32 window base per row tile (zeros => full range,
+    disparity d is absolute d + min_disp). Returns
+    (C uint8 (B,H,W,D), S_fwd (B,H,W,D) in out_dtype).
     """
     NW, B, H, W = cl_words.shape
-    assert H % th == 0, (H, th)
-    # reversed + D-padded right census planes
+    while H % th:
+        th //= 2
     cr_rev = jnp.flip(cr_words, axis=-1)
-    cr_rev = jnp.pad(cr_rev, ((0, 0), (0, 0), (0, 0), (0, D)))
+    cr_rev = jnp.pad(cr_rev, ((0, 0), (0, 0), (0, 0), (PAD_LEFT, D)))
+    padded_w = W + PAD_LEFT + D
 
     wc = 256
     while W % wc:
@@ -106,13 +110,14 @@ def fused_census_horizontal(cl_words: jax.Array, cr_words: jax.Array,
 
     kern = functools.partial(_fused_fwd_kernel, p1=p1, p2=p2, W=W, WC=wc,
                              D=D, NW=NW, min_disp=min_disp,
-                             out_dtype=out_dtype)
+                             out_dtype=out_dtype, padded_w=padded_w)
 
-    cl_spec = pl.BlockSpec((1, th, W), lambda b, i, j, w=None: (b, i, 0),
+    # NOTE index_map signatures: grid indices then scalar-prefetch refs
+    cl_spec = pl.BlockSpec((1, th, wc), lambda b, i, j, base_r: (b, i, j),
                            memory_space=pltpu.VMEM)
-    cr_spec = pl.BlockSpec((1, th, W + D), lambda b, i, j: (b, i, 0),
+    cr_spec = pl.BlockSpec((1, th, padded_w), lambda b, i, j, base_r: (b, i, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, th, wc, D), lambda b, i, j: (b, i, j, 0),
+    out_spec = pl.BlockSpec((1, th, wc, D), lambda b, i, j, base_r: (b, i, j, 0),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -123,13 +128,9 @@ def fused_census_horizontal(cl_words: jax.Array, cr_words: jax.Array,
         scratch_shapes=[pltpu.VMEM((th, D), jnp.float32)],
     )
 
-    base_flat = base.reshape(-1) if base.ndim > 1 else base
-    # scalar prefetch wants a flat per-(b,i) indexable array; we index by
-    # program_id(1) only (per row tile), so fold batch in
+    base = jnp.asarray(base, dtype=jnp.int32)
     if base.ndim == 2:
-        # kernel indexes base_ref[tile]; for B>1 rebuild per-b is complex —
-        # restrict: same base layout for every b (true for our pyramid)
-        base_flat = base[0]
+        base = base[0]  # same per-tile layout across the batch
 
     C, S = pl.pallas_call(
         kern,
@@ -137,10 +138,87 @@ def fused_census_horizontal(cl_words: jax.Array, cr_words: jax.Array,
         out_shape=[jax.ShapeDtypeStruct((B, H, W, D), jnp.uint8),
                    jax.ShapeDtypeStruct((B, H, W, D), out_dtype)],
         interpret=interpret,
-    )(base_flat.astype(jnp.int32), *cl_words, *cr_rev)
+    )(base, *cl_words, *cr_rev)
     return C, S
 
 
 def census_word_planes(census: jax.Array) -> jax.Array:
     """(B, H, W, nw) packed census -> (nw, B, H, W) word planes."""
     return jnp.moveaxis(census, -1, 0)
+
+
+def fused_census_sgm(cl_census: jax.Array, cr_census: jax.Array, D: int,
+                     *, base: int = 0, min_disp: int = 0,
+                     p1: float = 10.0, p2: float = 120.0,
+                     per_direction_penalties=None, directions=None,
+                     out_dtype=jnp.int16, interpret: bool = False
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Full SGM aggregation with the fused cost build.
+
+    cl_census/cr_census: (B, H, W, nw) packed census. Uniform window
+    base (e.g. -K//2 for residual matching against a warped right view).
+    Returns (S, C): summed path costs over `directions` (default 4:
+    both horizontal + both vertical) and the uint8 cost volume.
+    """
+    from i3dr_stereo_tpu.ops.sgm import DIRECTIONS_4
+    from i3dr_stereo_tpu.ops.sgm_pallas import (
+        _BOTTOMUP,
+        _HORIZ,
+        _TOPDOWN,
+        _horizontal_pass,
+        _vertical_pass,
+        _vmem_ok_vertical,
+    )
+
+    if directions is None:
+        directions = DIRECTIONS_4
+    directions = tuple(directions)
+    pen = {d: (p1, p2) for d in directions}
+    if per_direction_penalties is not None:
+        pen = {d: per_direction_penalties[i] for i, d in enumerate(directions)}
+
+    clw = census_word_planes(cl_census)
+    crw = census_word_planes(cr_census)
+    NW, B, H, W = clw.shape
+    th = 8
+    while H % th:
+        th //= 2
+    base_arr = jnp.full((H // th,), base, jnp.int32)
+
+    assert (0, 1) in directions, "fused path needs the W->E direction"
+    pf1, pf2 = pen[(0, 1)]
+    C, S_fwd = fused_census_horizontal(clw, crw, base_arr, D,
+                                       float(pf1), float(pf2),
+                                       min_disp=min_disp, out_dtype=out_dtype,
+                                       th=th, interpret=interpret)
+    acc = S_fwd.astype(jnp.int32) if out_dtype != jnp.float32 else S_fwd
+
+    def add(part):
+        nonlocal acc
+        acc = acc + (part.astype(jnp.int32) if out_dtype != jnp.float32 else part)
+
+    if (0, -1) in directions:
+        pp1, pp2 = pen[(0, -1)]
+        add(_horizontal_pass(C, float(pp1), float(pp2), forward=False,
+                             sentinel=True, out_dtype=out_dtype,
+                             interpret=interpret))
+    for family, reverse in ((_TOPDOWN, False), (_BOTTOMUP, True)):
+        fam = [d for d in family if d in directions]
+        if not fam:
+            continue
+        groups = {}
+        for d in fam:
+            groups.setdefault(pen[d], []).append(d)
+        for (pp1, pp2), ds in groups.items():
+            shifts = tuple(d[1] for d in ds)
+            if _vmem_ok_vertical(W, D, len(shifts), 1):
+                add(_vertical_pass(C, float(pp1), float(pp2), shifts, reverse,
+                                   sentinel=True, out_dtype=out_dtype,
+                                   interpret=interpret))
+            else:
+                for sh in shifts:
+                    add(_vertical_pass(C, float(pp1), float(pp2), (sh,),
+                                       reverse, sentinel=True,
+                                       out_dtype=out_dtype,
+                                       interpret=interpret))
+    return acc, C
