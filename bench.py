@@ -175,10 +175,9 @@ def bench_sgm_direct_2448():
     import jax.numpy as jnp
 
     from i3dr_stereo_tpu.ops.census import census_transform
+    from i3dr_stereo_tpu.ops.fused_cost_sgm import fused_census_sgm
     from i3dr_stereo_tpu.ops.lr_check import lr_consistency
     from i3dr_stereo_tpu.ops.sgm import DIRECTIONS_4
-    from i3dr_stereo_tpu.ops.sgm_dispatch import sgm_aggregate_auto
-    from i3dr_stereo_tpu.ops.shift import gather_disparity_shifted
     from i3dr_stereo_tpu.ops.speckle import speckle_filter
     from i3dr_stereo_tpu.ops.wta import wta_disparity
 
@@ -187,13 +186,8 @@ def bench_sgm_direct_2448():
     def fn(l, r):
         cl = census_transform(l, 9, 9)
         cr = census_transform(r, 9, 9)
-        Rg, valid = gather_disparity_shifted(cr, 0, D)
-        x = jnp.bitwise_xor(cl[..., None, :], Rg)
-        ham = jnp.sum(jax.lax.population_count(x), axis=-1)
-        C = jnp.where(valid, jnp.minimum(ham, 254).astype(jnp.uint8),
-                      jnp.uint8(255))
-        S = sgm_aggregate_auto(C, 10.0, 120.0, DIRECTIONS_4,
-                               out_dtype=jnp.int16)
+        S, C = fused_census_sgm(cl, cr, D, base=0, p1=10.0, p2=120.0,
+                                directions=DIRECTIONS_4, out_dtype=jnp.int16)
         disp, ok = wta_disparity(S, 0, uniqueness_ratio=10.0, subpixel=True)
         ok = ok & (jnp.min(C, axis=-1) < 255)
         disp, ok = lr_consistency(disp, ok, S.astype(jnp.float32), 0, 1.5)

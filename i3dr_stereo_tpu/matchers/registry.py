@@ -116,6 +116,35 @@ def sgbm_match(left, right, cfg: MatcherConfig) -> MatchResult:
     ``fullDP``/num_directions=8 corresponds to MODE_HH."""
     l, batched = _batched(left)
     r = right if right.ndim == 3 else right[None]
+
+    from i3dr_stereo_tpu.ops.sgm_dispatch import _backend
+
+    lean = (_backend() in ("pallas", "pallas_interpret")
+            and cfg.cost == CostFunction.BT and cfg.window_size <= 1)
+    if lean:
+        # fused no-gather pixelwise-BT SGM (blockSize=1 semantics)
+        from i3dr_stereo_tpu.ops.fused_cost_sgm import fused_bt_sgm
+
+        lp = xsobel_prefilter(l, cfg.prefilter_cap)
+        rp = xsobel_prefilter(r, cfg.prefilter_cap)
+        H, W = l.shape[-2:]
+        H8, W8 = (H + 7) // 8 * 8, (W + 7) // 8 * 8
+        lp = jnp.pad(lp, ((0, 0), (0, H8 - H), (0, W8 - W)), mode="edge")
+        rp = jnp.pad(rp, ((0, 0), (0, H8 - H), (0, W8 - W)), mode="edge")
+        S, C = fused_bt_sgm(lp, rp, cfg.disparity_range,
+                            min_disp=cfg.min_disparity,
+                            p1=float(cfg.p1), p2=float(cfg.p2),
+                            directions=_directions(cfg),
+                            interpret=_backend() == "pallas_interpret")
+        S = S[:, :H, :W]
+        C = C[:, :H, :W]
+        disp, valid = wta_disparity(S, cfg.min_disparity,
+                                    uniqueness_ratio=float(cfg.uniqueness_ratio),
+                                    subpixel=cfg.subpixel)
+        valid = valid & (jnp.min(C, axis=-1) < 255)
+        disp, valid = _postprocess(disp, valid, S.astype(jnp.float32), cfg, l)
+        return _unbatch(MatchResult(disparity=disp, valid=valid), batched)
+
     C, valid_cv = _cost_volume(l, r, cfg)
     C = box_aggregate(C, valid_cv, cfg.window_size)
     S = sgm_aggregate(C, float(cfg.p1), float(cfg.p2), _directions(cfg))

@@ -147,6 +147,186 @@ def census_word_planes(census: jax.Array) -> jax.Array:
     return jnp.moveaxis(census, -1, 0)
 
 
+# ---------------------------------------------------------------------------
+# Birchfield–Tomasi variant (the SGBM-family cost), same no-gather trick
+# ---------------------------------------------------------------------------
+
+def _fused_bt_kernel(base_ref, l_ref, llo_ref, lhi_ref, r_ref, c_out, s_out,
+                     carry_ref, *, p1, p2, W, WC, D, min_disp, out_dtype,
+                     padded_w):
+    """Pixelwise BT cost computed on the fly from the reversed right row.
+
+    l/llo/lhi: left prefiltered row tiles (th, WC); r_ref: reversed right
+    rows (th, padded_w) — right half-sample bounds are derived in-kernel
+    from a D+2 slice (neighbours in the reversed row are the +-1 pixels
+    of the source row).
+    """
+    chunk = pl.program_id(2)
+    tile = pl.program_id(1)
+    base = base_ref[tile]
+
+    @pl.when(chunk == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    th = l_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (th, D), 1)
+
+    def body(i, carry):
+        x = chunk * WC + i
+        s = W - 1 - x + base + min_disp + PAD_LEFT
+        s = jnp.clip(s, 1, padded_w - D - 1)
+        segp = r_ref[0, :, pl.ds(s - 1, D + 2)]      # (th, D+2)
+        seg = segp[:, 1:D + 1]
+        # reversed row: seg[k-1] is source x+1-side, seg[k+1] is x-1-side
+        nb_a = segp[:, 0:D]
+        nb_b = segp[:, 2:D + 2]
+        half_a = 0.5 * (seg + nb_a)
+        half_b = 0.5 * (seg + nb_b)
+        rlo = jnp.minimum(jnp.minimum(half_a, half_b), seg)
+        rhi = jnp.maximum(jnp.maximum(half_a, half_b), seg)
+        lx = l_ref[0, :, pl.ds(i, 1)]
+        llo = llo_ref[0, :, pl.ds(i, 1)]
+        lhi = lhi_ref[0, :, pl.ds(i, 1)]
+        dl = jnp.maximum(jnp.maximum(lx - rhi, rlo - lx), 0.0)
+        dr = jnp.maximum(jnp.maximum(seg - lhi, llo - seg), 0.0)
+        # doubled-and-rounded cost units so half-sample values survive the
+        # uint8 volume exactly (pixelwise BT <= 126 => 2x <= 252); every
+        # direction sees the identical quantized cost
+        cost = jnp.round(2.0 * jnp.minimum(dl, dr))
+        dmax = x - base - min_disp
+        valid = lane <= dmax
+        c = jnp.where(valid, cost, BIG)
+        c_out[0, :, pl.ds(i, 1), :] = jnp.where(
+            valid, jnp.minimum(cost, 254.0).astype(jnp.uint8),
+            jnp.uint8(U8_SENTINEL))[:, None, :]
+        L = _step(carry, c, p1, p2, D)
+        s_out[0, :, pl.ds(i, 1), :] = _store_sum(L, out_dtype)[:, None, :]
+        return L
+
+    carry_ref[:] = jax.lax.fori_loop(0, WC, body, carry_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("D", "p1", "p2", "min_disp",
+                                             "out_dtype", "th", "interpret"))
+def fused_bt_horizontal(left: jax.Array, right: jax.Array, base: jax.Array,
+                        D: int, p1: float, p2: float, min_disp: int = 0,
+                        out_dtype=jnp.int16, th: int = 8,
+                        interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """BT-cost counterpart of fused_census_horizontal.
+
+    left/right: (B, H, W) float32 prefiltered images (values in
+    [0, 2*prefilter_cap] so pixelwise BT fits uint8).
+    """
+    B, H, W = left.shape
+    while H % th:
+        th //= 2
+    # left half-sample bounds precomputed (3 cheap elementwise passes)
+    ll = jnp.concatenate([left[..., :1], left[..., :-1]], axis=-1)
+    lr_ = jnp.concatenate([left[..., 1:], left[..., -1:]], axis=-1)
+    ha = 0.5 * (left + ll)
+    hb = 0.5 * (left + lr_)
+    llo = jnp.minimum(jnp.minimum(ha, hb), left)
+    lhi = jnp.maximum(jnp.maximum(ha, hb), left)
+
+    r_rev = jnp.flip(right, axis=-1)
+    r_rev = jnp.pad(r_rev, ((0, 0), (0, 0), (PAD_LEFT, D)), mode="edge")
+    padded_w = W + PAD_LEFT + D
+
+    wc = 256
+    while W % wc:
+        wc //= 2
+        if wc < 8:
+            wc = W
+            break
+
+    kern = functools.partial(_fused_bt_kernel, p1=p1, p2=p2, W=W, WC=wc, D=D,
+                             min_disp=min_disp, out_dtype=out_dtype,
+                             padded_w=padded_w)
+    l_spec = pl.BlockSpec((1, th, wc), lambda b, i, j, s: (b, i, j),
+                          memory_space=pltpu.VMEM)
+    r_spec = pl.BlockSpec((1, th, padded_w), lambda b, i, j, s: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, th, wc, D), lambda b, i, j, s: (b, i, j, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H // th, W // wc),
+        in_specs=[l_spec, l_spec, l_spec, r_spec],
+        out_specs=[out_spec, out_spec],
+        scratch_shapes=[pltpu.VMEM((th, D), jnp.float32)],
+    )
+    base = jnp.asarray(base, dtype=jnp.int32)
+    if base.ndim == 2:
+        base = base[0]
+    C, S = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, H, W, D), jnp.uint8),
+                   jax.ShapeDtypeStruct((B, H, W, D), out_dtype)],
+        interpret=interpret,
+    )(base, left, llo, lhi, r_rev)
+    return C, S
+
+
+def fused_bt_sgm(left: jax.Array, right: jax.Array, D: int, *,
+                 min_disp: int = 0, p1: float = 8.0, p2: float = 32.0,
+                 directions=None, out_dtype=jnp.int16,
+                 interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Full pixelwise-BT SGM (the fast SGBM path, blockSize=1 semantics).
+
+    Returns (S, C). left/right are prefiltered (xsobel-clipped) images.
+    Costs and S are in DOUBLED units (see kernel comment); p1/p2 are
+    taken in normal cost units and doubled internally. WTA, parabolic
+    subpixel and uniqueness are scale-invariant, so downstream code needs
+    no change.
+    """
+    from i3dr_stereo_tpu.ops.sgm import DIRECTIONS_8
+    from i3dr_stereo_tpu.ops.sgm_pallas import (
+        _BOTTOMUP,
+        _TOPDOWN,
+        _horizontal_pass,
+        _vertical_pass,
+        _vmem_ok_vertical,
+    )
+
+    if directions is None:
+        directions = DIRECTIONS_8
+    directions = tuple(directions)
+    B, H, W = left.shape
+    th = 8
+    while H % th:
+        th //= 2
+    base_arr = jnp.zeros((H // th,), jnp.int32)
+    assert (0, 1) in directions
+    p1, p2 = 2.0 * p1, 2.0 * p2  # doubled cost units (see docstring)
+    C, S_fwd = fused_bt_horizontal(left, right, base_arr, D, p1, p2,
+                                   min_disp=min_disp, out_dtype=out_dtype,
+                                   th=th, interpret=interpret)
+    acc = S_fwd.astype(jnp.int32) if out_dtype != jnp.float32 else S_fwd
+
+    def add(part):
+        nonlocal acc
+        acc = acc + (part.astype(jnp.int32) if out_dtype != jnp.float32 else part)
+
+    if (0, -1) in directions:
+        add(_horizontal_pass(C, p1, p2, forward=False, sentinel=True,
+                             out_dtype=out_dtype, interpret=interpret))
+    for family, reverse in ((_TOPDOWN, False), (_BOTTOMUP, True)):
+        fam = [d for d in family if d in directions]
+        if not fam:
+            continue
+        shifts = tuple(d[1] for d in fam)
+        if _vmem_ok_vertical(W, D, len(shifts), 1):
+            add(_vertical_pass(C, p1, p2, shifts, reverse, sentinel=True,
+                               out_dtype=out_dtype, interpret=interpret))
+        else:
+            for sh in shifts:
+                add(_vertical_pass(C, p1, p2, (sh,), reverse, sentinel=True,
+                                   out_dtype=out_dtype, interpret=interpret))
+    return acc, C
+
+
 def fused_census_sgm(cl_census: jax.Array, cr_census: jax.Array, D: int,
                      *, base: int = 0, min_disp: int = 0,
                      p1: float = 10.0, p2: float = 120.0,

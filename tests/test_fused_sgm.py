@@ -115,3 +115,24 @@ def test_lean_matches_gather_path_closely():
     dg = np.asarray(r_gather.disparity)[both]
     df = np.asarray(r_fused.disparity)[both]
     assert (np.abs(dg - df) < 1.0).mean() > 0.97
+
+
+def test_lean_sgbm_bt_path():
+    """Fused pixelwise-BT SGBM path (window_size=1) on the lean backend."""
+    os.environ["I3DR_SGM_BACKEND"] = "pallas_interpret"
+    try:
+        from i3dr_stereo_tpu.matchers.registry import sgbm_match
+
+        sc = layered_scene(96, 128, max_disp=20, seed=7)
+        cfg = ALGORITHM_DEFAULTS[Algorithm.SGBM].replace(
+            disparity_range=32, window_size=1, p1=8.0, p2=32.0,
+            speckle_size=0, uniqueness_ratio=5.0)
+        res = sgbm_match(jnp.asarray(sc.left)[None],
+                         jnp.asarray(sc.right)[None], cfg)
+        d = np.asarray(res.disparity)[0]
+        v = np.asarray(res.valid)[0] & sc.valid
+        err = np.abs(d - sc.disparity)[v]
+        assert v.mean() > 0.5
+        assert np.median(err) < 0.5
+    finally:
+        os.environ.pop("I3DR_SGM_BACKEND", None)
