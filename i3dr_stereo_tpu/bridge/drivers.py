@@ -68,7 +68,9 @@ class SyntheticRingDriver:
     def start(self, n_frames: Optional[int] = None) -> None:
         def run():
             i = 0
-            while not self._stop.is_set():
+            # bounded runs always complete their n_frames (stop() only
+            # interrupts free-running capture)
+            while n_frames is not None or not self._stop.is_set():
                 if n_frames is not None and i >= n_frames:
                     break
                 self.ring.push(i / self.fps, self.frame_fn(i), seq=i)
