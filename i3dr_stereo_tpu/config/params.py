@@ -92,6 +92,9 @@ class MatcherConfig:
     bp_iters: int = 5                 # cv::cuda BP defaults: 5 iters, 5 levels
     bp_levels: int = 5
     bp_msg_cost: float = 25.0         # data cost truncation analog
+    csbp_planes: int = 4              # cv::cuda CSBP nr_plane: candidate
+                                      # disparities kept per pixel at the
+                                      # finest level (constant-space trick)
 
     # --- engine --------------------------------------------------------------
     interpolate_missing: bool = False # fill invalid by neighbourhood (Gauss interp)
@@ -127,7 +130,7 @@ class MatcherConfig:
         "algorithm", "min_disparity", "disparity_range", "window_size",
         "downsample_scale", "num_directions", "cost", "census_width",
         "census_height", "pyramid", "max_pyramid_level", "bp_iters",
-        "bp_levels",
+        "bp_levels", "csbp_planes",
     )
 
     def shape_key(self) -> tuple:
