@@ -35,6 +35,16 @@ from i3dr_stereo_tpu.ops.sgm_pallas import BIG, U8_SENTINEL, _step, _store_sum
 PAD_LEFT = 64  # covers negative window bases down to -PAD_LEFT
 
 
+def _pick_wc(W: int, cap: int = 256) -> int:
+    """Largest W-chunk <= cap dividing W and divisible by 8 (4D block
+    sublane constraint); falls back to the full row."""
+    best = None
+    for wc in range(8, min(cap, W) + 1, 8):
+        if W % wc == 0:
+            best = wc
+    return best if best is not None else W
+
+
 def _fused_fwd_kernel(base_ref, *refs, p1, p2, W, WC, D, NW, min_disp,
                       out_dtype, padded_w):
     """refs = cl word refs (NW) + cr_rev word refs (NW) + c_out + s_out
@@ -61,7 +71,7 @@ def _fused_fwd_kernel(base_ref, *refs, p1, p2, W, WC, D, NW, min_disp,
         s = jnp.clip(s, 0, padded_w - D)
         ham = jnp.zeros((th, D), jnp.int32)
         for wi in range(NW):
-            cx = cl_refs[wi][0, :, pl.ds(i, 1)]                 # (th, 1)
+            cx = cl_refs[wi][0, :, pl.ds(x, 1)]                 # (th, 1)
             seg = cr_refs[wi][0, :, pl.ds(s, D)]                # (th, D)
             ham = ham + jax.lax.population_count(
                 jnp.bitwise_xor(cx, seg)).astype(jnp.int32)
@@ -101,19 +111,17 @@ def fused_census_horizontal(cl_words: jax.Array, cr_words: jax.Array,
     cr_rev = jnp.pad(cr_rev, ((0, 0), (0, 0), (0, 0), (PAD_LEFT, D)))
     padded_w = W + PAD_LEFT + D
 
-    wc = 256
-    while W % wc:
-        wc //= 2
-        if wc < 8:
-            wc = W
-            break
+    wc = _pick_wc(W)
 
     kern = functools.partial(_fused_fwd_kernel, p1=p1, p2=p2, W=W, WC=wc,
                              D=D, NW=NW, min_disp=min_disp,
                              out_dtype=out_dtype, padded_w=padded_w)
 
-    # NOTE index_map signatures: grid indices then scalar-prefetch refs
-    cl_spec = pl.BlockSpec((1, th, wc), lambda b, i, j, base_r: (b, i, j),
+    # NOTE index_map signatures: grid indices then scalar-prefetch refs.
+    # 3D row-plane blocks must span the full W (the lane dim of a 3D
+    # block cannot be chunked unless it is a multiple of 128, and image
+    # widths rarely are) — rows are small, so full-width is cheap.
+    cl_spec = pl.BlockSpec((1, th, W), lambda b, i, j, base_r: (b, i, 0),
                            memory_space=pltpu.VMEM)
     cr_spec = pl.BlockSpec((1, th, padded_w), lambda b, i, j, base_r: (b, i, 0),
                            memory_space=pltpu.VMEM)
@@ -185,9 +193,9 @@ def _fused_bt_kernel(base_ref, l_ref, llo_ref, lhi_ref, r_ref, c_out, s_out,
         half_b = 0.5 * (seg + nb_b)
         rlo = jnp.minimum(jnp.minimum(half_a, half_b), seg)
         rhi = jnp.maximum(jnp.maximum(half_a, half_b), seg)
-        lx = l_ref[0, :, pl.ds(i, 1)]
-        llo = llo_ref[0, :, pl.ds(i, 1)]
-        lhi = lhi_ref[0, :, pl.ds(i, 1)]
+        lx = l_ref[0, :, pl.ds(x, 1)]
+        llo = llo_ref[0, :, pl.ds(x, 1)]
+        lhi = lhi_ref[0, :, pl.ds(x, 1)]
         dl = jnp.maximum(jnp.maximum(lx - rhi, rlo - lx), 0.0)
         dr = jnp.maximum(jnp.maximum(seg - lhi, llo - seg), 0.0)
         # doubled-and-rounded cost units so half-sample values survive the
@@ -233,17 +241,12 @@ def fused_bt_horizontal(left: jax.Array, right: jax.Array, base: jax.Array,
     r_rev = jnp.pad(r_rev, ((0, 0), (0, 0), (PAD_LEFT, D)), mode="edge")
     padded_w = W + PAD_LEFT + D
 
-    wc = 256
-    while W % wc:
-        wc //= 2
-        if wc < 8:
-            wc = W
-            break
+    wc = _pick_wc(W)
 
     kern = functools.partial(_fused_bt_kernel, p1=p1, p2=p2, W=W, WC=wc, D=D,
                              min_disp=min_disp, out_dtype=out_dtype,
                              padded_w=padded_w)
-    l_spec = pl.BlockSpec((1, th, wc), lambda b, i, j, s: (b, i, j),
+    l_spec = pl.BlockSpec((1, th, W), lambda b, i, j, s: (b, i, 0),
                           memory_space=pltpu.VMEM)
     r_spec = pl.BlockSpec((1, th, padded_w), lambda b, i, j, s: (b, i, 0),
                           memory_space=pltpu.VMEM)
