@@ -33,6 +33,20 @@ from jax.experimental.pallas import tpu as pltpu
 from i3dr_stereo_tpu.ops.sgm_pallas import BIG, U8_SENTINEL, _step, _store_sum
 
 PAD_LEFT = 64  # covers negative window bases down to -PAD_LEFT
+LANE = 128     # TPU lane width: dynamic VMEM lane indexing must be
+               # 128-aligned, so unaligned reads load an aligned window
+               # and rotate it into place (pltpu.roll with dynamic shift)
+
+
+def _load_unaligned(ref, b_idx, start, width):
+    """Read ref[b_idx, :, start:start+width] with an arbitrary dynamic
+    start: aligned (width+LANE)-wide load + dynamic lane rotation.
+    The ref's last dim must be padded so aligned windows always fit."""
+    aligned = pl.multiple_of((start // LANE) * LANE, LANE)
+    win = ref[b_idx, :, pl.ds(aligned, width + LANE)]
+    off = start - aligned
+    rolled = pltpu.roll(win, width + LANE - off, axis=1)
+    return rolled[:, :width]
 
 
 def _pick_wc(W: int, cap: int = 256) -> int:
@@ -68,11 +82,11 @@ def _fused_fwd_kernel(base_ref, *refs, p1, p2, W, WC, D, NW, min_disp,
     def body(i, carry):
         x = chunk * WC + i  # global column
         s = W - 1 - x + base + min_disp + PAD_LEFT
-        s = jnp.clip(s, 0, padded_w - D)
+        s = jnp.clip(s, 0, W - 1 + PAD_LEFT)
         ham = jnp.zeros((th, D), jnp.int32)
         for wi in range(NW):
-            cx = cl_refs[wi][0, :, pl.ds(x, 1)]                 # (th, 1)
-            seg = cr_refs[wi][0, :, pl.ds(s, D)]                # (th, D)
+            cx = _load_unaligned(cl_refs[wi], 0, x, 1)          # (th, 1)
+            seg = _load_unaligned(cr_refs[wi], 0, s, D)         # (th, D)
             ham = ham + jax.lax.population_count(
                 jnp.bitwise_xor(cx, seg)).astype(jnp.int32)
         # validity: right column x - (base + min_disp + d) must be in image
@@ -108,8 +122,10 @@ def fused_census_horizontal(cl_words: jax.Array, cr_words: jax.Array,
     while H % th:
         th //= 2
     cr_rev = jnp.flip(cr_words, axis=-1)
-    cr_rev = jnp.pad(cr_rev, ((0, 0), (0, 0), (0, 0), (PAD_LEFT, D)))
-    padded_w = W + PAD_LEFT + D
+    cr_rev = jnp.pad(cr_rev, ((0, 0), (0, 0), (0, 0), (PAD_LEFT, D + LANE)))
+    padded_w = W + PAD_LEFT + D + LANE
+    wl = (W + LANE - 1) // LANE * LANE + LANE  # aligned-read slack for cl
+    cl_words = jnp.pad(cl_words, ((0, 0), (0, 0), (0, 0), (0, wl - W)))
 
     wc = _pick_wc(W)
 
@@ -121,7 +137,7 @@ def fused_census_horizontal(cl_words: jax.Array, cr_words: jax.Array,
     # 3D row-plane blocks must span the full W (the lane dim of a 3D
     # block cannot be chunked unless it is a multiple of 128, and image
     # widths rarely are) — rows are small, so full-width is cheap.
-    cl_spec = pl.BlockSpec((1, th, W), lambda b, i, j, base_r: (b, i, 0),
+    cl_spec = pl.BlockSpec((1, th, wl), lambda b, i, j, base_r: (b, i, 0),
                            memory_space=pltpu.VMEM)
     cr_spec = pl.BlockSpec((1, th, padded_w), lambda b, i, j, base_r: (b, i, 0),
                            memory_space=pltpu.VMEM)
@@ -183,8 +199,8 @@ def _fused_bt_kernel(base_ref, l_ref, llo_ref, lhi_ref, r_ref, c_out, s_out,
     def body(i, carry):
         x = chunk * WC + i
         s = W - 1 - x + base + min_disp + PAD_LEFT
-        s = jnp.clip(s, 1, padded_w - D - 1)
-        segp = r_ref[0, :, pl.ds(s - 1, D + 2)]      # (th, D+2)
+        s = jnp.clip(s, 1, W + PAD_LEFT)
+        segp = _load_unaligned(r_ref, 0, s - 1, D + 2)    # (th, D+2)
         seg = segp[:, 1:D + 1]
         # reversed row: seg[k-1] is source x+1-side, seg[k+1] is x-1-side
         nb_a = segp[:, 0:D]
@@ -193,9 +209,9 @@ def _fused_bt_kernel(base_ref, l_ref, llo_ref, lhi_ref, r_ref, c_out, s_out,
         half_b = 0.5 * (seg + nb_b)
         rlo = jnp.minimum(jnp.minimum(half_a, half_b), seg)
         rhi = jnp.maximum(jnp.maximum(half_a, half_b), seg)
-        lx = l_ref[0, :, pl.ds(x, 1)]
-        llo = llo_ref[0, :, pl.ds(x, 1)]
-        lhi = lhi_ref[0, :, pl.ds(x, 1)]
+        lx = _load_unaligned(l_ref, 0, x, 1)
+        llo = _load_unaligned(llo_ref, 0, x, 1)
+        lhi = _load_unaligned(lhi_ref, 0, x, 1)
         dl = jnp.maximum(jnp.maximum(lx - rhi, rlo - lx), 0.0)
         dr = jnp.maximum(jnp.maximum(seg - lhi, llo - seg), 0.0)
         # doubled-and-rounded cost units so half-sample values survive the
@@ -238,15 +254,20 @@ def fused_bt_horizontal(left: jax.Array, right: jax.Array, base: jax.Array,
     lhi = jnp.maximum(jnp.maximum(ha, hb), left)
 
     r_rev = jnp.flip(right, axis=-1)
-    r_rev = jnp.pad(r_rev, ((0, 0), (0, 0), (PAD_LEFT, D)), mode="edge")
-    padded_w = W + PAD_LEFT + D
+    r_rev = jnp.pad(r_rev, ((0, 0), (0, 0), (PAD_LEFT, D + 2 + LANE)),
+                    mode="edge")
+    padded_w = W + PAD_LEFT + D + 2 + LANE
+    wl = (W + LANE - 1) // LANE * LANE + LANE
+    left = jnp.pad(left, ((0, 0), (0, 0), (0, wl - W)))
+    llo = jnp.pad(llo, ((0, 0), (0, 0), (0, wl - W)))
+    lhi = jnp.pad(lhi, ((0, 0), (0, 0), (0, wl - W)))
 
     wc = _pick_wc(W)
 
     kern = functools.partial(_fused_bt_kernel, p1=p1, p2=p2, W=W, WC=wc, D=D,
                              min_disp=min_disp, out_dtype=out_dtype,
                              padded_w=padded_w)
-    l_spec = pl.BlockSpec((1, th, W), lambda b, i, j, s: (b, i, 0),
+    l_spec = pl.BlockSpec((1, th, wl), lambda b, i, j, s: (b, i, 0),
                           memory_space=pltpu.VMEM)
     r_spec = pl.BlockSpec((1, th, padded_w), lambda b, i, j, s: (b, i, 0),
                           memory_space=pltpu.VMEM)
