@@ -23,6 +23,24 @@ import numpy as np
 BASELINE_FPS = 30.0
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: tunnel compiles take minutes, so
+    warmed executables are reused across bench invocations."""
+    try:
+        import jax
+
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+
 def _synthetic_pair(h, w, max_disp=128, seed=0):
     rng = np.random.default_rng(seed)
     img = rng.uniform(0, 255, (h, w + max_disp)).astype(np.float32)
