@@ -78,29 +78,43 @@ def _fused_fwd_kernel(base_ref, *refs, p1, p2, W, WC, D, NW, min_disp,
 
     th = cl_refs[0].shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (th, D), 1)
+    XG = 8  # columns per iteration: full sublane tiles for the stores,
+            # and one unaligned load + rotation amortized over 8 columns
 
     def body(i, carry):
-        x = chunk * WC + i  # global column
-        s = W - 1 - x + base + min_disp + PAD_LEFT
-        s = jnp.clip(s, 0, W - 1 + PAD_LEFT)
-        ham = jnp.zeros((th, D), jnp.int32)
-        for wi in range(NW):
-            cx = _load_unaligned(cl_refs[wi], 0, x, 1)          # (th, 1)
-            seg = _load_unaligned(cr_refs[wi], 0, s, D)         # (th, D)
-            ham = ham + jax.lax.population_count(
-                jnp.bitwise_xor(cx, seg)).astype(jnp.int32)
-        # validity: right column x - (base + min_disp + d) must be in image
-        dmax = x - base - min_disp
-        valid = lane <= dmax
-        c = jnp.where(valid, ham.astype(jnp.float32), BIG)
-        c_out[0, :, pl.ds(i, 1), :] = jnp.where(
-            valid, jnp.minimum(ham, 254).astype(jnp.uint8),
-            jnp.uint8(U8_SENTINEL))[:, None, :]
-        L = _step(carry, c, p1, p2, D)
-        s_out[0, :, pl.ds(i, 1), :] = _store_sum(L, out_dtype)[:, None, :]
-        return L
+        x0 = chunk * WC + i * XG  # first global column of this group
+        # reversed-row slice start decreases as x increases; one window
+        # covers all XG columns, each column is a STATIC sub-slice
+        s_hi = W - 1 - x0 + base + min_disp + PAD_LEFT  # start for x0
+        # padding guarantees the window fits for any base in
+        # [-PAD_LEFT, W); the floor only triggers in all-invalid groups
+        s_lo = jnp.maximum(s_hi - (XG - 1), 0)
+        segs = [_load_unaligned(cr_refs[wi], 0, s_lo, D + XG - 1)
+                for wi in range(NW)]
+        cxs = [_load_unaligned(cl_refs[wi], 0, x0, XG) for wi in range(NW)]
+        c_rows, s_rows = [], []
+        for k in range(XG):
+            x = x0 + k
+            off = XG - 1 - k  # segs[:, off : off+D] == slice starting s(x)
+            ham = jnp.zeros((th, D), jnp.int32)
+            for wi in range(NW):
+                ham = ham + jax.lax.population_count(jnp.bitwise_xor(
+                    cxs[wi][:, k:k + 1], segs[wi][:, off:off + D])
+                ).astype(jnp.int32)
+            dmax = x - base - min_disp
+            valid = lane <= dmax
+            c = jnp.where(valid, ham.astype(jnp.float32), BIG)
+            c_rows.append(jnp.where(valid,
+                                    jnp.minimum(ham, 254).astype(jnp.uint8),
+                                    jnp.uint8(U8_SENTINEL)))
+            carry = _step(carry, c, p1, p2, D)
+            s_rows.append(_store_sum(carry, out_dtype))
+        xw = pl.multiple_of(i * XG, XG)
+        c_out[0, :, pl.ds(xw, XG), :] = jnp.stack(c_rows, axis=1)
+        s_out[0, :, pl.ds(xw, XG), :] = jnp.stack(s_rows, axis=1)
+        return carry
 
-    carry_ref[:] = jax.lax.fori_loop(0, WC, body, carry_ref[:])
+    carry_ref[:] = jax.lax.fori_loop(0, WC // XG, body, carry_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("D", "p1", "p2", "min_disp",
@@ -122,8 +136,11 @@ def fused_census_horizontal(cl_words: jax.Array, cr_words: jax.Array,
     while H % th:
         th //= 2
     cr_rev = jnp.flip(cr_words, axis=-1)
-    cr_rev = jnp.pad(cr_rev, ((0, 0), (0, 0), (0, 0), (PAD_LEFT, D + LANE)))
-    padded_w = W + PAD_LEFT + D + LANE
+    # right padding sized so the group window fits unclipped for any
+    # row-tile base up to W (pyramid predictions can reach image width)
+    cr_rev = jnp.pad(cr_rev, ((0, 0), (0, 0), (0, 0),
+                              (PAD_LEFT, D + LANE + W)))
+    padded_w = W + PAD_LEFT + D + LANE + W
     wl = (W + LANE - 1) // LANE * LANE + LANE  # aligned-read slack for cl
     cl_words = jnp.pad(cl_words, ((0, 0), (0, 0), (0, 0), (0, wl - W)))
 
@@ -195,40 +212,49 @@ def _fused_bt_kernel(base_ref, l_ref, llo_ref, lhi_ref, r_ref, c_out, s_out,
 
     th = l_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (th, D), 1)
+    XG = 8
 
     def body(i, carry):
-        x = chunk * WC + i
-        s = W - 1 - x + base + min_disp + PAD_LEFT
-        s = jnp.clip(s, 1, W + PAD_LEFT)
-        segp = _load_unaligned(r_ref, 0, s - 1, D + 2)    # (th, D+2)
-        seg = segp[:, 1:D + 1]
-        # reversed row: seg[k-1] is source x+1-side, seg[k+1] is x-1-side
-        nb_a = segp[:, 0:D]
-        nb_b = segp[:, 2:D + 2]
-        half_a = 0.5 * (seg + nb_a)
-        half_b = 0.5 * (seg + nb_b)
-        rlo = jnp.minimum(jnp.minimum(half_a, half_b), seg)
-        rhi = jnp.maximum(jnp.maximum(half_a, half_b), seg)
-        lx = _load_unaligned(l_ref, 0, x, 1)
-        llo = _load_unaligned(llo_ref, 0, x, 1)
-        lhi = _load_unaligned(lhi_ref, 0, x, 1)
-        dl = jnp.maximum(jnp.maximum(lx - rhi, rlo - lx), 0.0)
-        dr = jnp.maximum(jnp.maximum(seg - lhi, llo - seg), 0.0)
-        # doubled-and-rounded cost units so half-sample values survive the
-        # uint8 volume exactly (pixelwise BT <= 126 => 2x <= 252); every
-        # direction sees the identical quantized cost
-        cost = jnp.round(2.0 * jnp.minimum(dl, dr))
-        dmax = x - base - min_disp
-        valid = lane <= dmax
-        c = jnp.where(valid, cost, BIG)
-        c_out[0, :, pl.ds(i, 1), :] = jnp.where(
-            valid, jnp.minimum(cost, 254.0).astype(jnp.uint8),
-            jnp.uint8(U8_SENTINEL))[:, None, :]
-        L = _step(carry, c, p1, p2, D)
-        s_out[0, :, pl.ds(i, 1), :] = _store_sum(L, out_dtype)[:, None, :]
-        return L
+        x0 = chunk * WC + i * XG
+        s_hi = W - 1 - x0 + base + min_disp + PAD_LEFT
+        s_lo = jnp.maximum(s_hi - (XG - 1) - 1, 0)
+        win = _load_unaligned(r_ref, 0, s_lo, D + XG + 1)  # covers all k
+        lxw = _load_unaligned(l_ref, 0, x0, XG)
+        llow = _load_unaligned(llo_ref, 0, x0, XG)
+        lhiw = _load_unaligned(lhi_ref, 0, x0, XG)
+        c_rows, s_rows = [], []
+        for k in range(XG):
+            x = x0 + k
+            off = XG - k  # win[:, off : off+D] starts at s(x); off-1/off+1 neighbours
+            seg = win[:, off:off + D]
+            nb_a = win[:, off - 1:off - 1 + D]
+            nb_b = win[:, off + 1:off + 1 + D]
+            half_a = 0.5 * (seg + nb_a)
+            half_b = 0.5 * (seg + nb_b)
+            rlo = jnp.minimum(jnp.minimum(half_a, half_b), seg)
+            rhi = jnp.maximum(jnp.maximum(half_a, half_b), seg)
+            lx = lxw[:, k:k + 1]
+            llo = llow[:, k:k + 1]
+            lhi = lhiw[:, k:k + 1]
+            dl = jnp.maximum(jnp.maximum(lx - rhi, rlo - lx), 0.0)
+            dr = jnp.maximum(jnp.maximum(seg - lhi, llo - seg), 0.0)
+            # doubled-and-rounded cost units so half-sample values
+            # survive the uint8 volume exactly (2x pixelwise BT <= 252)
+            cost = jnp.round(2.0 * jnp.minimum(dl, dr))
+            dmax = x - base - min_disp
+            valid = lane <= dmax
+            c = jnp.where(valid, cost, BIG)
+            c_rows.append(jnp.where(valid,
+                                    jnp.minimum(cost, 254.0).astype(jnp.uint8),
+                                    jnp.uint8(U8_SENTINEL)))
+            carry = _step(carry, c, p1, p2, D)
+            s_rows.append(_store_sum(carry, out_dtype))
+        xw = pl.multiple_of(i * XG, XG)
+        c_out[0, :, pl.ds(xw, XG), :] = jnp.stack(c_rows, axis=1)
+        s_out[0, :, pl.ds(xw, XG), :] = jnp.stack(s_rows, axis=1)
+        return carry
 
-    carry_ref[:] = jax.lax.fori_loop(0, WC, body, carry_ref[:])
+    carry_ref[:] = jax.lax.fori_loop(0, WC // XG, body, carry_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("D", "p1", "p2", "min_disp",
@@ -254,9 +280,9 @@ def fused_bt_horizontal(left: jax.Array, right: jax.Array, base: jax.Array,
     lhi = jnp.maximum(jnp.maximum(ha, hb), left)
 
     r_rev = jnp.flip(right, axis=-1)
-    r_rev = jnp.pad(r_rev, ((0, 0), (0, 0), (PAD_LEFT, D + 2 + LANE)),
+    r_rev = jnp.pad(r_rev, ((0, 0), (0, 0), (PAD_LEFT, D + 2 + LANE + W)),
                     mode="edge")
-    padded_w = W + PAD_LEFT + D + 2 + LANE
+    padded_w = W + PAD_LEFT + D + 2 + LANE + W
     wl = (W + LANE - 1) // LANE * LANE + LANE
     left = jnp.pad(left, ((0, 0), (0, 0), (0, wl - W)))
     llo = jnp.pad(llo, ((0, 0), (0, 0), (0, wl - W)))
