@@ -62,11 +62,11 @@ def _pick_wc(W: int, cap: int = 256) -> int:
 def _fused_fwd_kernel(base_ref, *refs, p1, p2, W, WC, D, NW, min_disp,
                       out_dtype, padded_w):
     """refs = cl word refs (NW) + cr_rev word refs (NW) + c_out + s_out
-    + carry scratch. Grid (B, H/TH, W/WC), W sequential."""
+    + carry/c_buf/s_buf scratch. Grid (B, H/TH, W/WC), W sequential."""
     cl_refs = refs[:NW]
     cr_refs = refs[NW:2 * NW]
     c_out, s_out = refs[2 * NW], refs[2 * NW + 1]
-    carry_ref = refs[2 * NW + 2]
+    carry_ref, c_buf, s_buf = refs[2 * NW + 2], refs[2 * NW + 3], refs[2 * NW + 4]
 
     chunk = pl.program_id(2)
     tile = pl.program_id(1)
@@ -92,8 +92,7 @@ def _fused_fwd_kernel(base_ref, *refs, p1, p2, W, WC, D, NW, min_disp,
         segs = [_load_unaligned(cr_refs[wi], 0, s_lo, D + XG - 1)
                 for wi in range(NW)]
         cxs = [_load_unaligned(cl_refs[wi], 0, x0, XG) for wi in range(NW)]
-        c_rows, s_rows = [], []
-        for k in range(XG):
+        for k in range(XG):  # static unroll: scratch writes use static k
             x = x0 + k
             off = XG - 1 - k  # segs[:, off : off+D] == slice starting s(x)
             ham = jnp.zeros((th, D), jnp.int32)
@@ -104,14 +103,14 @@ def _fused_fwd_kernel(base_ref, *refs, p1, p2, W, WC, D, NW, min_disp,
             dmax = x - base - min_disp
             valid = lane <= dmax
             c = jnp.where(valid, ham.astype(jnp.float32), BIG)
-            c_rows.append(jnp.where(valid,
-                                    jnp.minimum(ham, 254).astype(jnp.uint8),
-                                    jnp.uint8(U8_SENTINEL)))
+            c_buf[:, k, :] = jnp.where(valid,
+                                       jnp.minimum(ham, 254).astype(jnp.uint8),
+                                       jnp.uint8(U8_SENTINEL))
             carry = _step(carry, c, p1, p2, D)
-            s_rows.append(_store_sum(carry, out_dtype))
+            s_buf[:, k, :] = _store_sum(carry, out_dtype)
         xw = pl.multiple_of(i * XG, XG)
-        c_out[0, :, pl.ds(xw, XG), :] = jnp.stack(c_rows, axis=1)
-        s_out[0, :, pl.ds(xw, XG), :] = jnp.stack(s_rows, axis=1)
+        c_out[0, :, pl.ds(xw, XG), :] = c_buf[:]
+        s_out[0, :, pl.ds(xw, XG), :] = s_buf[:]
         return carry
 
     carry_ref[:] = jax.lax.fori_loop(0, WC // XG, body, carry_ref[:])
@@ -166,7 +165,9 @@ def fused_census_horizontal(cl_words: jax.Array, cr_words: jax.Array,
         grid=(B, H // th, W // wc),
         in_specs=[cl_spec] * NW + [cr_spec] * NW,
         out_specs=[out_spec, out_spec],
-        scratch_shapes=[pltpu.VMEM((th, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((th, D), jnp.float32),
+                        pltpu.VMEM((th, 8, D), jnp.uint8),
+                        pltpu.VMEM((th, 8, D), out_dtype)],
     )
 
     base = jnp.asarray(base, dtype=jnp.int32)
@@ -193,8 +194,8 @@ def census_word_planes(census: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _fused_bt_kernel(base_ref, l_ref, llo_ref, lhi_ref, r_ref, c_out, s_out,
-                     carry_ref, *, p1, p2, W, WC, D, min_disp, out_dtype,
-                     padded_w):
+                     carry_ref, c_buf, s_buf, *, p1, p2, W, WC, D, min_disp,
+                     out_dtype, padded_w):
     """Pixelwise BT cost computed on the fly from the reversed right row.
 
     l/llo/lhi: left prefiltered row tiles (th, WC); r_ref: reversed right
@@ -222,7 +223,6 @@ def _fused_bt_kernel(base_ref, l_ref, llo_ref, lhi_ref, r_ref, c_out, s_out,
         lxw = _load_unaligned(l_ref, 0, x0, XG)
         llow = _load_unaligned(llo_ref, 0, x0, XG)
         lhiw = _load_unaligned(lhi_ref, 0, x0, XG)
-        c_rows, s_rows = [], []
         for k in range(XG):
             x = x0 + k
             off = XG - k  # win[:, off : off+D] starts at s(x); off-1/off+1 neighbours
@@ -244,14 +244,14 @@ def _fused_bt_kernel(base_ref, l_ref, llo_ref, lhi_ref, r_ref, c_out, s_out,
             dmax = x - base - min_disp
             valid = lane <= dmax
             c = jnp.where(valid, cost, BIG)
-            c_rows.append(jnp.where(valid,
-                                    jnp.minimum(cost, 254.0).astype(jnp.uint8),
-                                    jnp.uint8(U8_SENTINEL)))
+            c_buf[:, k, :] = jnp.where(valid,
+                                       jnp.minimum(cost, 254.0).astype(jnp.uint8),
+                                       jnp.uint8(U8_SENTINEL))
             carry = _step(carry, c, p1, p2, D)
-            s_rows.append(_store_sum(carry, out_dtype))
+            s_buf[:, k, :] = _store_sum(carry, out_dtype)
         xw = pl.multiple_of(i * XG, XG)
-        c_out[0, :, pl.ds(xw, XG), :] = jnp.stack(c_rows, axis=1)
-        s_out[0, :, pl.ds(xw, XG), :] = jnp.stack(s_rows, axis=1)
+        c_out[0, :, pl.ds(xw, XG), :] = c_buf[:]
+        s_out[0, :, pl.ds(xw, XG), :] = s_buf[:]
         return carry
 
     carry_ref[:] = jax.lax.fori_loop(0, WC // XG, body, carry_ref[:])
@@ -304,7 +304,9 @@ def fused_bt_horizontal(left: jax.Array, right: jax.Array, base: jax.Array,
         grid=(B, H // th, W // wc),
         in_specs=[l_spec, l_spec, l_spec, r_spec],
         out_specs=[out_spec, out_spec],
-        scratch_shapes=[pltpu.VMEM((th, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((th, D), jnp.float32),
+                        pltpu.VMEM((th, 8, D), jnp.uint8),
+                        pltpu.VMEM((th, 8, D), out_dtype)],
     )
     base = jnp.asarray(base, dtype=jnp.int32)
     if base.ndim == 2:
