@@ -30,7 +30,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from i3dr_stereo_tpu.ops.sgm_pallas import BIG, U8_SENTINEL, _step, _store_sum
+from i3dr_stereo_tpu.ops.sgm_pallas import (
+    BIG,
+    CLAMP as CLAMP_F,
+    U8_SENTINEL,
+    _step,
+    _store_sum,
+)
 
 PAD_LEFT = 64  # covers negative window bases down to -PAD_LEFT
 LANE = 128     # TPU lane width: dynamic VMEM lane indexing must be
@@ -103,14 +109,16 @@ def _fused_fwd_kernel(base_ref, *refs, p1, p2, W, WC, D, NW, min_disp,
             dmax = x - base - min_disp
             valid = lane <= dmax
             c = jnp.where(valid, ham.astype(jnp.float32), BIG)
-            c_buf[:, k, :] = jnp.where(valid,
-                                       jnp.minimum(ham, 254).astype(jnp.uint8),
-                                       jnp.uint8(U8_SENTINEL))
+            c_buf[:, k, :] = jnp.where(valid, jnp.minimum(ham, 254)
+                                       .astype(jnp.float32), 255.0)
             carry = _step(carry, c, p1, p2, D)
-            s_buf[:, k, :] = _store_sum(carry, out_dtype)
+            s_buf[:, k, :] = (jnp.minimum(carry, CLAMP_F)
+                              if out_dtype != jnp.float32 else carry)
         xw = pl.multiple_of(i * XG, XG)
-        c_out[0, :, pl.ds(xw, XG), :] = c_buf[:]
-        s_out[0, :, pl.ds(xw, XG), :] = s_buf[:]
+        # scratch stays f32 (Mosaic lacks narrow-dtype 2D->3D reshapes);
+        # narrow on the full-tile store
+        c_out[0, :, pl.ds(xw, XG), :] = c_buf[:].astype(jnp.uint8)
+        s_out[0, :, pl.ds(xw, XG), :] = s_buf[:].astype(out_dtype)
         return carry
 
     carry_ref[:] = jax.lax.fori_loop(0, WC // XG, body, carry_ref[:])
@@ -166,8 +174,8 @@ def fused_census_horizontal(cl_words: jax.Array, cr_words: jax.Array,
         in_specs=[cl_spec] * NW + [cr_spec] * NW,
         out_specs=[out_spec, out_spec],
         scratch_shapes=[pltpu.VMEM((th, D), jnp.float32),
-                        pltpu.VMEM((th, 8, D), jnp.uint8),
-                        pltpu.VMEM((th, 8, D), out_dtype)],
+                        pltpu.VMEM((th, 8, D), jnp.float32),
+                        pltpu.VMEM((th, 8, D), jnp.float32)],
     )
 
     base = jnp.asarray(base, dtype=jnp.int32)
@@ -244,14 +252,13 @@ def _fused_bt_kernel(base_ref, l_ref, llo_ref, lhi_ref, r_ref, c_out, s_out,
             dmax = x - base - min_disp
             valid = lane <= dmax
             c = jnp.where(valid, cost, BIG)
-            c_buf[:, k, :] = jnp.where(valid,
-                                       jnp.minimum(cost, 254.0).astype(jnp.uint8),
-                                       jnp.uint8(U8_SENTINEL))
+            c_buf[:, k, :] = jnp.where(valid, jnp.minimum(cost, 254.0), 255.0)
             carry = _step(carry, c, p1, p2, D)
-            s_buf[:, k, :] = _store_sum(carry, out_dtype)
+            s_buf[:, k, :] = (jnp.minimum(carry, CLAMP_F)
+                              if out_dtype != jnp.float32 else carry)
         xw = pl.multiple_of(i * XG, XG)
-        c_out[0, :, pl.ds(xw, XG), :] = c_buf[:]
-        s_out[0, :, pl.ds(xw, XG), :] = s_buf[:]
+        c_out[0, :, pl.ds(xw, XG), :] = c_buf[:].astype(jnp.uint8)
+        s_out[0, :, pl.ds(xw, XG), :] = s_buf[:].astype(out_dtype)
         return carry
 
     carry_ref[:] = jax.lax.fori_loop(0, WC // XG, body, carry_ref[:])
@@ -305,8 +312,8 @@ def fused_bt_horizontal(left: jax.Array, right: jax.Array, base: jax.Array,
         in_specs=[l_spec, l_spec, l_spec, r_spec],
         out_specs=[out_spec, out_spec],
         scratch_shapes=[pltpu.VMEM((th, D), jnp.float32),
-                        pltpu.VMEM((th, 8, D), jnp.uint8),
-                        pltpu.VMEM((th, 8, D), out_dtype)],
+                        pltpu.VMEM((th, 8, D), jnp.float32),
+                        pltpu.VMEM((th, 8, D), jnp.float32)],
     )
     base = jnp.asarray(base, dtype=jnp.int32)
     if base.ndim == 2:
