@@ -117,8 +117,13 @@ def _fused_fwd_kernel(base_ref, *refs, p1, p2, W, WC, D, NW, min_disp,
         xw = pl.multiple_of(i * XG, XG)
         # scratch stays f32 (Mosaic lacks narrow-dtype 2D->3D reshapes);
         # narrow on the full-tile store
-        c_out[0, :, pl.ds(xw, XG), :] = c_buf[:].astype(jnp.uint8)
-        s_out[0, :, pl.ds(xw, XG), :] = s_buf[:].astype(out_dtype)
+        # Mosaic lacks a direct f32->u8 cast; go through int32
+        c_out[0, :, pl.ds(xw, XG), :] = (c_buf[:].astype(jnp.int32)
+                                         .astype(jnp.uint8))
+        s_out[0, :, pl.ds(xw, XG), :] = (s_buf[:].astype(jnp.int32)
+                                         .astype(out_dtype)
+                                         if out_dtype != jnp.float32
+                                         else s_buf[:])
         return carry
 
     carry_ref[:] = jax.lax.fori_loop(0, WC // XG, body, carry_ref[:])
@@ -257,8 +262,13 @@ def _fused_bt_kernel(base_ref, l_ref, llo_ref, lhi_ref, r_ref, c_out, s_out,
             s_buf[:, k, :] = (jnp.minimum(carry, CLAMP_F)
                               if out_dtype != jnp.float32 else carry)
         xw = pl.multiple_of(i * XG, XG)
-        c_out[0, :, pl.ds(xw, XG), :] = c_buf[:].astype(jnp.uint8)
-        s_out[0, :, pl.ds(xw, XG), :] = s_buf[:].astype(out_dtype)
+        # Mosaic lacks a direct f32->u8 cast; go through int32
+        c_out[0, :, pl.ds(xw, XG), :] = (c_buf[:].astype(jnp.int32)
+                                         .astype(jnp.uint8))
+        s_out[0, :, pl.ds(xw, XG), :] = (s_buf[:].astype(jnp.int32)
+                                         .astype(out_dtype)
+                                         if out_dtype != jnp.float32
+                                         else s_buf[:])
         return carry
 
     carry_ref[:] = jax.lax.fori_loop(0, WC // XG, body, carry_ref[:])
