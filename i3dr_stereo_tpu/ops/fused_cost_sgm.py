@@ -46,12 +46,15 @@ LANE = 128     # TPU lane width: dynamic VMEM lane indexing must be
 
 def _load_unaligned(ref, b_idx, start, width):
     """Read ref[b_idx, :, start:start+width] with an arbitrary dynamic
-    start: aligned (width+LANE)-wide load + dynamic lane rotation.
-    The ref's last dim must be padded so aligned windows always fit."""
+    start: 128-aligned load of a 128-multiple window (tpu.dynamic_rotate
+    requires lane-aligned shapes) + dynamic lane rotation. The ref's
+    last dim must be padded so aligned windows always fit
+    (<= round_up(width, 128) + 128 beyond the max start)."""
     aligned = pl.multiple_of((start // LANE) * LANE, LANE)
-    win = ref[b_idx, :, pl.ds(aligned, width + LANE)]
+    total = ((width + LANE - 1) // LANE + 1) * LANE
+    win = ref[b_idx, :, pl.ds(aligned, total)]
     off = start - aligned
-    rolled = pltpu.roll(win, width + LANE - off, axis=1)
+    rolled = pltpu.roll(win, total - off, axis=1)
     return rolled[:, :width]
 
 
@@ -151,9 +154,9 @@ def fused_census_horizontal(cl_words: jax.Array, cr_words: jax.Array,
     # right padding sized so the group window fits unclipped for any
     # row-tile base up to W (pyramid predictions can reach image width)
     cr_rev = jnp.pad(cr_rev, ((0, 0), (0, 0), (0, 0),
-                              (PAD_LEFT, D + LANE + W)))
-    padded_w = W + PAD_LEFT + D + LANE + W
-    wl = (W + LANE - 1) // LANE * LANE + LANE  # aligned-read slack for cl
+                              (PAD_LEFT, D + 3 * LANE + W)))
+    padded_w = W + PAD_LEFT + D + 3 * LANE + W
+    wl = (W + LANE - 1) // LANE * LANE + 2 * LANE  # aligned-read slack
     cl_words = jnp.pad(cl_words, ((0, 0), (0, 0), (0, 0), (0, wl - W)))
 
     wc = _pick_wc(W)
@@ -297,10 +300,10 @@ def fused_bt_horizontal(left: jax.Array, right: jax.Array, base: jax.Array,
     lhi = jnp.maximum(jnp.maximum(ha, hb), left)
 
     r_rev = jnp.flip(right, axis=-1)
-    r_rev = jnp.pad(r_rev, ((0, 0), (0, 0), (PAD_LEFT, D + 2 + LANE + W)),
+    r_rev = jnp.pad(r_rev, ((0, 0), (0, 0), (PAD_LEFT, D + 2 + 3 * LANE + W)),
                     mode="edge")
-    padded_w = W + PAD_LEFT + D + 2 + LANE + W
-    wl = (W + LANE - 1) // LANE * LANE + LANE
+    padded_w = W + PAD_LEFT + D + 2 + 3 * LANE + W
+    wl = (W + LANE - 1) // LANE * LANE + 2 * LANE
     left = jnp.pad(left, ((0, 0), (0, 0), (0, wl - W)))
     llo = jnp.pad(llo, ((0, 0), (0, 0), (0, wl - W)))
     lhi = jnp.pad(lhi, ((0, 0), (0, 0), (0, wl - W)))
