@@ -55,8 +55,11 @@ _BOTTOMUP = ((-1, 0), (-1, -1), (-1, 1))
 
 
 def _load_cost(c, sentinel: bool):
-    """Raw block -> f32 costs; uint8 sentinel 255 -> BIG."""
-    f = c.astype(jnp.float32)
+    """Raw block -> f32 costs; uint8 sentinel 255 -> BIG.
+
+    Narrow->f32 casts go through int32 (Mosaic's cast matrix has no
+    direct u8/i16 <-> f32 paths)."""
+    f = c.astype(jnp.int32).astype(jnp.float32) if c.dtype != jnp.float32 else c
     if sentinel:
         f = jnp.where(c == U8_SENTINEL, BIG, f)
     return f
@@ -65,7 +68,7 @@ def _load_cost(c, sentinel: bool):
 def _store_sum(total, out_dtype):
     if out_dtype == jnp.float32:
         return total
-    return jnp.minimum(total, CLAMP).astype(out_dtype)
+    return jnp.minimum(total, CLAMP).astype(jnp.int32).astype(out_dtype)
 
 
 def _step(prev, c, p1, p2, D):
