@@ -88,22 +88,37 @@ def _step(prev, c, p1, p2, D):
 # horizontal kernel
 # ---------------------------------------------------------------------------
 
-def _lr_kernel(c_ref, s_ref, carry_ref, *, p1, p2, WC, D, forward: bool,
-               sentinel: bool, out_dtype):
+def _lr_kernel(c_ref, s_ref, carry_ref, s_buf, c_gbuf, *, p1, p2, WC, D,
+               forward: bool, sentinel: bool, out_dtype):
     chunk = pl.program_id(2)
 
     @pl.when(chunk == 0)
     def _():
         carry_ref[:] = jnp.zeros_like(carry_ref)
 
-    def body(i, carry):
-        x = i if forward else WC - 1 - i
-        c = _load_cost(c_ref[0, :, x, :], sentinel)
-        L = _step(carry, c, p1, p2, D)
-        s_ref[0, :, x, :] = _store_sum(L, out_dtype)
-        return L
+    XG = 8  # column group: dynamic sublane access must be 8-aligned
 
-    carry_ref[:] = jax.lax.fori_loop(0, WC, body, carry_ref[:])
+    def body(i, carry):
+        g = i if forward else WC // XG - 1 - i
+        gx = pl.multiple_of(g * XG, XG)
+        # stage the group through f32 scratch: per-k reads then come
+        # from a ref (static index), avoiding narrow-dtype vector
+        # reshapes Mosaic does not support
+        c_gbuf[:] = _load_cost(c_ref[0, :, pl.ds(gx, XG), :], sentinel)
+        ks = range(XG) if forward else range(XG - 1, -1, -1)
+        for k in ks:
+            c = c_gbuf[:, k, :]
+            carry = _step(carry, c, p1, p2, D)
+            s_buf[:, k, :] = (jnp.minimum(carry, CLAMP)
+                              if out_dtype != jnp.float32 else carry)
+        if out_dtype == jnp.float32:
+            s_ref[0, :, pl.ds(gx, XG), :] = s_buf[:]
+        else:
+            s_ref[0, :, pl.ds(gx, XG), :] = (s_buf[:].astype(jnp.int32)
+                                             .astype(out_dtype))
+        return carry
+
+    carry_ref[:] = jax.lax.fori_loop(0, WC // XG, body, carry_ref[:])
 
 
 def _pick_tiles(H: int, W: int, D: int, itemsize: int,
@@ -147,7 +162,9 @@ def _horizontal_pass(C, p1, p2, forward: bool, sentinel: bool = False,
         in_specs=[spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(C.shape, out_dtype),
-        scratch_shapes=[pltpu.VMEM((th, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((th, D), jnp.float32),
+                        pltpu.VMEM((th, 8, D), jnp.float32),
+                        pltpu.VMEM((th, 8, D), jnp.float32)],
         interpret=interpret,
     )(C)
 
