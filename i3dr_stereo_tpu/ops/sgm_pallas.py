@@ -59,9 +59,16 @@ def _load_cost(c, sentinel: bool):
 
     Narrow->f32 casts go through int32 (Mosaic's cast matrix has no
     direct u8/i16 <-> f32 paths)."""
-    f = c.astype(jnp.int32).astype(jnp.float32) if c.dtype != jnp.float32 else c
+    if c.dtype == jnp.float32:
+        ci = None
+        f = c
+    else:
+        ci = c.astype(jnp.int32)
+        f = ci.astype(jnp.float32)
     if sentinel:
-        f = jnp.where(c == U8_SENTINEL, BIG, f)
+        # compare in int32 — Mosaic has no narrow-int vector compares
+        key = ci if ci is not None else c.astype(jnp.int32)
+        f = jnp.where(key == U8_SENTINEL, BIG, f)
     return f
 
 
