@@ -109,7 +109,7 @@ def bench_flagship():
     H, W = 2048, 2448
     cfg = ALGORITHM_DEFAULTS[Algorithm.I3DRSGM].replace(
         disparity_range=256, max_pyramid_level=4,
-        speckle_size=100, median_filter=True)
+        speckle_size=100, speckle_downsample=2, median_filter=True)
     from i3dr_stereo_tpu.matchers.registry import MATCHER_REGISTRY
 
     impl = MATCHER_REGISTRY[cfg.algorithm]

@@ -73,6 +73,8 @@ class MatcherConfig:
     texture_threshold: float = 10.0   # cfg "texture_threshold" (BM only)
     speckle_size: int = 100           # cfg "speckle_size" (max region px)
     speckle_range: float = 4.0        # cfg "speckle_range" (max intra-region diff)
+    speckle_downsample: int = 1       # >1: label on a strided subsample
+                                      # (engine-style per-scale filtering)
     disp12_max_diff: float = 0.0      # cfg "disp12MaxDiff"; <0 disables LR check
     subpixel: bool = True             # parabolic DSI interp (quick.param "DSI Interpolator")
     median_filter: bool = False       # 3x3 median optimizer (quick.param:89-90)

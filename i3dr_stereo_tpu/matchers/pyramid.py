@@ -244,7 +244,8 @@ def pyramid_sgm_match(left, right, cfg: MatcherConfig,
         if p.speckle and p.speckle_max_region > 0:
             valid = speckle_filter(disp, valid,
                                    max_size=p.speckle_max_region,
-                                   max_diff=p.speckle_max_diff)
+                                   max_diff=p.speckle_max_diff,
+                                   downsample=cfg.speckle_downsample)
         if p.occlusion_detection:
             occ = detect_occlusions(disp, valid)
             if p.interpolate_occlusions:

@@ -77,7 +77,8 @@ def _postprocess(disp, valid, S, cfg: MatcherConfig, left):
                                      float(cfg.disp12_max_diff) if cfg.disp12_max_diff > 0 else 1.0)
     if cfg.speckle_size > 0:
         valid = speckle_filter(disp, valid, max_size=cfg.speckle_size,
-                               max_diff=float(cfg.speckle_range))
+                               max_diff=float(cfg.speckle_range),
+                               downsample=cfg.speckle_downsample)
     if cfg.median_filter:
         disp = median3x3_masked(disp, valid)
     if cfg.interp or cfg.interpolate_missing:
@@ -103,7 +104,8 @@ def bm_match(left, right, cfg: MatcherConfig) -> MatchResult:
         valid = valid & (tex >= cfg.texture_threshold * cfg.window_size)
     if cfg.speckle_size > 0:
         valid = speckle_filter(disp, valid, max_size=cfg.speckle_size,
-                               max_diff=float(cfg.speckle_range))
+                               max_diff=float(cfg.speckle_range),
+                               downsample=cfg.speckle_downsample)
     if cfg.interp or cfg.interpolate_missing:
         disp, valid = wls_fill(disp, valid, l)
     return _unbatch(MatchResult(disparity=disp, valid=valid), batched)
@@ -176,7 +178,8 @@ def i3drsgm_match(left, right, cfg: MatcherConfig) -> MatchResult:
                                      float(cfg.backmatch_distance))
     if cfg.speckle_size > 0:
         valid = speckle_filter(disp, valid, max_size=cfg.speckle_size,
-                               max_diff=float(cfg.speckle_range))
+                               max_diff=float(cfg.speckle_range),
+                               downsample=cfg.speckle_downsample)
     if cfg.median_filter:
         disp = median3x3_masked(disp, valid)
     if cfg.interp or cfg.interpolate_missing:

@@ -237,7 +237,7 @@ def _vmem_ok_vertical(W: int, D: int, n_carries: int, itemsize: int,
                       out_itemsize: int = 2) -> bool:
     """Carries (f32) + double-buffered C-in and S-out row blocks."""
     need = (n_carries * 4 + 2 * itemsize + 2 * out_itemsize) * W * D
-    return need < 12 * 1024 * 1024
+    return need < 10 * 1024 * 1024
 
 
 def sgm_aggregate_pallas(C: jax.Array, p1: float = 10.0, p2: float = 120.0,

@@ -38,17 +38,35 @@ def _neighbor_shift(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
     return jnp.pad(x, pad, constant_values=fill)[tuple(idx)]
 
 
-@partial(jax.jit, static_argnames=("max_size", "max_diff", "iters"))
+@partial(jax.jit, static_argnames=("max_size", "max_diff", "iters", "downsample"))
 def speckle_filter(disp: jax.Array, valid: jax.Array, *,
                    max_size: int = 100, max_diff: float = 1.0,
-                   iters: int = 16) -> jax.Array:
+                   iters: int = 16, downsample: int = 1) -> jax.Array:
     """Return the updated valid mask with speckles removed.
 
     disp: (H, W) or (B, H, W) float disparities; valid: same-shape bool.
     ``iters`` rounds of (4-neighbour min propagation + pointer jump).
+
+    ``downsample`` > 1 runs the labeling on a strided subsample (size
+    threshold scaled by downsample^2) and broadcasts the verdict back —
+    ~downsample^2 x cheaper; regions near the threshold may be judged
+    slightly differently (the reference engine similarly speckle-filters
+    at pyramid scales, ini/quick.param per-level sections).
     """
     if max_size <= 0:
         return valid
+    if downsample > 1:
+        k = downsample
+        dd = disp[..., ::k, ::k]
+        vv = valid[..., ::k, ::k]
+        keep_small = speckle_filter(dd, vv,
+                                    max_size=max(max_size // (k * k), 1),
+                                    max_diff=max_diff * k,
+                                    iters=iters, downsample=1)
+        rejected = vv & ~keep_small
+        rej_full = jnp.repeat(jnp.repeat(rejected, k, axis=-2), k, axis=-1)
+        rej_full = rej_full[..., :disp.shape[-2], :disp.shape[-1]]
+        return valid & ~rej_full
     batched = disp.ndim == 3
     d = disp if batched else disp[None]
     v = valid if batched else valid[None]

@@ -52,10 +52,15 @@ def wta_disparity(S: jax.Array, min_disparity: int = 0, *,
 
     disp = best.astype(jnp.float32)
     if subpixel:
-        bm1 = jnp.clip(best - 1, 0, D - 1)
-        bp1 = jnp.clip(best + 1, 0, D - 1)
-        Sm = jnp.take_along_axis(S, bm1[..., None], axis=-1)[..., 0]
-        Sp = jnp.take_along_axis(S, bp1[..., None], axis=-1)[..., 0]
+        # gather-free neighbour extraction: TPU gathers are slow, so pick
+        # S[best -+ 1] with one-hot masked reductions over the (rolled)
+        # volume instead of take_along_axis
+        d_idx = jnp.arange(D)
+        onehot = d_idx == best[..., None]
+        Sm_roll = jnp.concatenate([S[..., :1], S[..., :-1]], axis=-1)  # S[d-1]
+        Sp_roll = jnp.concatenate([S[..., 1:], S[..., -1:]], axis=-1)  # S[d+1]
+        Sm = jnp.sum(jnp.where(onehot, Sm_roll, 0.0), axis=-1)
+        Sp = jnp.sum(jnp.where(onehot, Sp_roll, 0.0), axis=-1)
         denom = Sm + Sp - 2.0 * Sbest
         offset = jnp.where(denom > 1e-9,
                            (Sm - Sp) / (2.0 * denom),
