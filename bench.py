@@ -221,18 +221,16 @@ def bench_sgm_direct_2448():
 
 
 def bench_stages():
-    """Stage-level timing at full resolution (diagnosis aid; prints one
-    line per stage, not driver-facing)."""
+    """Stage-level timing of the ACTUAL flagship components at full
+    resolution (diagnosis aid; prints one line per stage)."""
     import jax
     import jax.numpy as jnp
 
-    from i3dr_stereo_tpu.matchers.pyramid import shifted_census_cost
     from i3dr_stereo_tpu.ops.census import census_transform
-    from i3dr_stereo_tpu.ops.sgm import DIRECTIONS_4
-    from i3dr_stereo_tpu.ops.sgm_pallas import sgm_aggregate_pallas
-    from i3dr_stereo_tpu.ops.wta import wta_disparity
-    from i3dr_stereo_tpu.ops.speckle import speckle_filter
+    from i3dr_stereo_tpu.ops.fused_cost_sgm import fused_census_sgm
     from i3dr_stereo_tpu.ops.median import median3x3
+    from i3dr_stereo_tpu.ops.speckle import speckle_filter
+    from i3dr_stereo_tpu.ops.wta import wta_disparity
 
     H, W, K = 2048, 2448, 32
     l, r = _synthetic_pair(H, W)
@@ -242,42 +240,63 @@ def bench_stages():
 
     f_census = jax.jit(lambda x: census_transform(x, 9, 9))
     out["census_9x9"] = _time_fn(f_census, (L,), iters=3)
-
     CL = f_census(L)
     CR = f_census(R)
-    offset = jnp.zeros((1, H, W), jnp.int32)
 
-    f_cost = jax.jit(lambda cl: shifted_census_cost(cl, CR, offset, K,
-                                                    dtype=jnp.uint8)[0])
-    # cost gather needs a float input for the timing bump: wrap
-    f_cost_t = jax.jit(lambda x: shifted_census_cost(
-        f_census(x), CR, offset, K, dtype=jnp.uint8)[0])
-    out["cost_gather_K32"] = _time_fn(f_cost_t, (L,), iters=3)
+    # the fused cost+SGM at level 0 (the heart of the flagship)
+    def fsgm(x):
+        cl = census_transform(x, 9, 9)
+        S, C = fused_census_sgm(cl, CR, K, base=-K // 2, p1=8.0, p2=64.0,
+                                directions=((0, 1), (0, -1), (1, 0), (-1, 0)),
+                                out_dtype=jnp.int16)
+        return S
+    out["fused_sgm4_K32_L0"] = _time_fn(jax.jit(fsgm), (L,), iters=3)
 
-    C = f_cost(CL)
-    Cf = jnp.where(C == 255, 1e9, C.astype(jnp.float32))
+    # warp gather (per-pixel image gather)
+    pred = jnp.zeros((1, H, W), jnp.int32) + 20
+    def warp(x):
+        xs = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+        src = jnp.clip(xs - pred, 0, W - 1)
+        return jnp.take_along_axis(x, src, axis=2)
+    out["warp_gather"] = _time_fn(jax.jit(warp), (R,), iters=3)
 
-    f_sgm = jax.jit(lambda c: sgm_aggregate_pallas(
-        jnp.minimum(c, 254).astype(jnp.uint8), 0.1 * 80, 0.8 * 80,
-        DIRECTIONS_4, out_dtype=jnp.int16))
-    out["sgm4_K32_u8"] = _time_fn(f_sgm, (C.astype(jnp.float32),), iters=3)
+    # round-trip backmatch gather
+    disp0 = jnp.full((1, H, W), 20.0)
+    def roundtrip(d):
+        d_int = jnp.round(d).astype(jnp.int32)
+        xr = jnp.arange(W, dtype=jnp.int32)[None, None, :] - d_int
+        xr_c = jnp.clip(xr, 0, W - 1)
+        return jnp.take_along_axis(d, xr_c, axis=2)
+    out["backmatch_gather"] = _time_fn(jax.jit(roundtrip), (disp0,), iters=3)
 
-    S = f_sgm(C.astype(jnp.float32))
+    S0 = jax.jit(fsgm)(L)
     f_wta = jax.jit(lambda s: wta_disparity(s, 0, uniqueness_ratio=0.0,
                                             subpixel=True)[0])
-    out["wta"] = _time_fn(f_wta, (S.astype(jnp.float32),), iters=3)
+    out["wta_K32"] = _time_fn(f_wta, (S0.astype(jnp.float32),), iters=3)
 
-    disp = f_wta(S.astype(jnp.float32))
-    f_med = jax.jit(median3x3)
-    out["median3x3"] = _time_fn(f_med, (disp,), iters=3)
+    disp = f_wta(S0.astype(jnp.float32))
+    out["median3x3"] = _time_fn(jax.jit(median3x3), (disp,), iters=3)
 
-    f_spk = jax.jit(lambda d: speckle_filter(d, jnp.ones(d.shape, bool),
-                                             max_size=100, max_diff=0.5))
-    out["speckle"] = _time_fn(f_spk, (disp,), iters=2)
+    f_spk2 = jax.jit(lambda d: speckle_filter(d, jnp.ones(d.shape, bool),
+                                              max_size=100, max_diff=0.5,
+                                              downsample=2))
+    out["speckle_ds2"] = _time_fn(f_spk2, (disp,), iters=2)
+
+    # pyramid overhead: downsample chain + upsample predictions
+    def pyr_overhead(x):
+        from i3dr_stereo_tpu.matchers.pyramid import _downsample2, _upsample2_disp
+        a = _downsample2(x)
+        b = _downsample2(a)
+        c = _downsample2(b)
+        d = _upsample2_disp(c[..., ::1], b.shape[1], b.shape[2])
+        e = _upsample2_disp(d, a.shape[1], a.shape[2])
+        f = _upsample2_disp(e, x.shape[1], x.shape[2])
+        return f
+    out["pyramid_resizes"] = _time_fn(jax.jit(pyr_overhead), (L,), iters=3)
 
     for k, v in out.items():
         print(json.dumps({"metric": f"stage_{k}_ms", "value": round(v * 1e3, 3),
-                          "unit": "ms", "vs_baseline": None}))
+                          "unit": "ms", "vs_baseline": None}), flush=True)
     return {"metric": "stages_done", "value": 1, "unit": "", "vs_baseline": None}
 
 
