@@ -173,7 +173,8 @@ def bench_pipeline_batch():
     B, H, W = 32, 480, 640
     rig = StereoRig.synthetic(W, H, fx=500.0)
     cfg = ALGORITHM_DEFAULTS[Algorithm.SGBM].replace(disparity_range=64,
-                                                     speckle_size=0)
+                                                     window_size=1, p1=8.0,
+                                                     p2=32.0, speckle_size=0)
     pipe = StereoPipeline(rig=rig, config=cfg, compute_points=False,
                           cloud=PointCloudConfig(depth_max=100.0))
     l, r = _synthetic_pair(H, W)
