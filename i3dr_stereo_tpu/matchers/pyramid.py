@@ -107,7 +107,11 @@ def profile_from_config(cfg: MatcherConfig) -> SGMProfile:
             backmatch=cfg.backmatch_distance >= 0,
             backmatch_dist=max(cfg.backmatch_distance, 0.0),
             median=cfg.median_filter,
-            speckle=cfg.speckle_size > 0,
+            # speckle only on the finest level: intermediate levels
+            # median-fill invalid pixels anyway, so per-level speckle
+            # re-kills the same blobs at ~4x the cost (per-level control
+            # stays available through .param profiles)
+            speckle=cfg.speckle_size > 0 and lv == 0,
             speckle_max_diff=float(cfg.speckle_range),
             speckle_max_region=cfg.speckle_size,
             subpixel=cfg.subpixel,
@@ -148,7 +152,9 @@ def pyramid_sgm_match(left, right, cfg: MatcherConfig,
     # memory-lean dtypes on the Pallas path (uint8 costs, int16 partials)
     from i3dr_stereo_tpu.ops.sgm_dispatch import _backend
 
-    lean = _backend() in ("pallas", "pallas_interpret")
+    backend = _backend()
+    fused_t = backend in ("pallas_t", "pallas_t_interpret")
+    lean = backend in ("pallas", "pallas_interpret")
     cost_dtype = jnp.uint8 if lean else jnp.float32
     sum_dtype = jnp.int16 if lean else None
 
@@ -175,6 +181,56 @@ def pyramid_sgm_match(left, right, cfg: MatcherConfig,
         K = max(8, p.num_disparities + 1)  # odd profile count -> even window
         pens = tuple((p.p1[min(i, 3)], p.p2[min(i, 3)])
                      for i in range(len(dirs)))
+
+        if fused_t:
+            if disp is None:
+                base_val = int(round(cfg.min_disparity / (2 ** p.level)
+                                     + p.prediction_shift))
+                pred_int = None
+                offset = jnp.full((Bh, Hh, Wh), base_val, jnp.int32)
+            else:
+                pred = disp
+                while cur_level > p.level:
+                    pred = _upsample2_disp(pred, pyr_l[cur_level - 1].shape[1],
+                                           pyr_l[cur_level - 1].shape[2])
+                    cur_level -= 1
+                pred = median3x3(pred)
+                pred_int = jnp.clip(jnp.round(pred).astype(jnp.int32), 0, Wh - 1)
+                base_val = 0
+            disp, valid, q_rt = _match_level_fused_t(
+                ll, rr, pred_int, base_val, K, pens,
+                4 if len(dirs) == 4 else 8,
+                (p.census_h, p.census_w),
+                subpixel=(p.level == 0 and p.subpixel),
+                interpret=backend.endswith("interpret"))
+            cur_level = p.level
+            finest = p.level == 0
+            # matched right column must land inside the image
+            xs_v = jnp.arange(Wh, dtype=jnp.int32)[None, None, :]
+            rcol = xs_v - jnp.round(disp).astype(jnp.int32)
+            valid = valid & (rcol >= 0) & (rcol < Wh)
+            if p.backmatch:
+                disp, valid = _roundtrip_check_blocked(
+                    disp, valid, p.backmatch_dist, q_rt, K,
+                    interpret=backend.endswith("interpret"))
+            if p.speckle and p.speckle_max_region > 0:
+                valid = speckle_filter(disp, valid,
+                                       max_size=p.speckle_max_region,
+                                       max_diff=p.speckle_max_diff,
+                                       downsample=cfg.speckle_downsample)
+            if p.occlusion_detection:
+                occ = detect_occlusions(disp, valid)
+                if p.interpolate_occlusions:
+                    disp, valid = fill_occlusions(disp, valid, occ)
+                else:
+                    valid = valid & ~occ
+            if p.median:
+                disp = median3x3_masked(disp, valid)
+            if not finest:
+                disp = jnp.where(valid, disp, median3x3(disp))
+            elif p.interpolate_gaps:
+                disp, valid = wls_fill(disp, valid, ll)
+            continue
 
         if disp is None:
             base_val = int(round(cfg.min_disparity / (2 ** p.level)
@@ -274,6 +330,79 @@ def pyramid_sgm_match(left, right, cfg: MatcherConfig,
     if not batched:
         res = MatchResult(disparity=res.disparity[0], valid=res.valid[0])
     return res
+
+
+def _ceil_to(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _match_level_fused_t(ll, rr, pred_int, base_val: int, K: int, pens,
+                         num_directions: int, census_hw, *,
+                         subpixel: bool, interpret: bool):
+    """One pyramid level through the dense transposed kernels
+    (ops/sgm_fused_t.py): block-shift warp, census on the transposed
+    pair, fused cost+SGM+WTA. Returns (disp_abs, valid, roundtrip
+    anchors)."""
+    from i3dr_stereo_tpu.ops.block_gather import block_anchors, block_shift_gather
+    from i3dr_stereo_tpu.ops.sgm_fused_t import census_sgm_wta_t
+
+    B, Hh, Wh = ll.shape
+    K8 = _ceil_to(max(K, 8), 8)
+    Hp, Wp = _ceil_to(Hh, 128), _ceil_to(Wh, 128)
+    pad2 = ((0, 0), (0, Hp - Hh), (0, Wp - Wh))
+    llp = jnp.pad(ll, pad2, mode="edge")
+    rrp = jnp.pad(rr, pad2, mode="edge")
+
+    if pred_int is None:
+        rw = rrp
+        bpm = int(base_val)
+        q = jnp.full((B, Hp // 8, Wp // 128), base_val + K8 // 2, jnp.int32)
+        offset = float(base_val)
+    else:
+        pred_p = jnp.pad(pred_int, pad2, mode="edge")
+        q = block_anchors(pred_p)
+        q_up = jnp.repeat(jnp.repeat(q, 8, axis=1), 128, axis=2)
+        pred_eff = jnp.clip(pred_p, q_up - K8 // 2, q_up + K8 // 2)
+        rw = block_shift_gather(rrp, pred_eff, q, K8 // 2, interpret=interpret)
+        bpm = -(K8 // 2)
+        offset = (pred_eff[:, :Hh, :Wh] + bpm).astype(jnp.float32)
+
+    ch, cw = census_hw
+    # transposed-land: window (h, w) swaps; bit order swaps identically on
+    # both images, so hamming distances are unchanged
+    clT = jnp.moveaxis(census_transform(jnp.transpose(llp, (0, 2, 1)), cw, ch),
+                       -1, 0)
+    crT = jnp.moveaxis(census_transform(jnp.transpose(rw, (0, 2, 1)), cw, ch),
+                       -1, 0)
+    disp_t, _C = census_sgm_wta_t(clT, crT, K8, bpm=bpm, W_real=Wh, H_real=Hh,
+                                  pens=pens, directions=num_directions,
+                                  subpixel=subpixel, interpret=interpret)
+    disp_res = disp_t[:, :Hh, :Wh]
+    valid = disp_res > -1.0e8
+    disp = jnp.where(valid, disp_res, float(K8 // 2)) + offset
+    return disp, valid, q
+
+
+def _roundtrip_check_blocked(disp, valid, max_diff: float, q, K: int, *,
+                             interpret: bool):
+    """Backmatching via the block-shift gather (no scalar-core gather):
+    round(disp) is within K8//2 + K8//2 + 1 of the warp anchors by
+    construction, so the banded gather is exact."""
+    from i3dr_stereo_tpu.ops.block_gather import block_shift_gather
+
+    B, Hh, Wh = disp.shape
+    K8 = _ceil_to(max(K, 8), 8)
+    Hp, Wp = q.shape[1] * 8, q.shape[2] * 128
+    pad2 = ((0, 0), (0, Hp - Hh), (0, Wp - Wh))
+    disp_p = jnp.pad(disp, pad2, mode="edge")
+    d_int = jnp.round(disp_p).astype(jnp.int32)
+    d_at = block_shift_gather(disp_p, d_int, q, K8 + 1,
+                              interpret=interpret)[:, :Hh, :Wh]
+    xs = jnp.arange(Wh, dtype=jnp.int32)[None, None, :]
+    xr = xs - jnp.round(disp).astype(jnp.int32)
+    in_img = (xr >= 0) & (xr < Wh)
+    consistent = jnp.abs(d_at - disp) <= max_diff
+    return disp, valid & in_img & consistent
 
 
 def _roundtrip_check(disp: jax.Array, valid: jax.Array, max_diff: float):

@@ -1,8 +1,11 @@
 """Backend dispatch for SGM aggregation.
 
-- On TPU: the Pallas kernels (ops.sgm_pallas).
+- On TPU: the Pallas kernels — "pallas_t" selects the dense
+  transposed-layout generation (ops.sgm_fused_t) in the pyramid engine;
+  volume-level aggregation uses ops.sgm_pallas either way.
 - On CPU/other (tests, dry runs): the XLA lax.scan reference (ops.sgm).
-- Override with I3DR_SGM_BACKEND={auto,xla,pallas,pallas_interpret}.
+- Override with I3DR_SGM_BACKEND=
+  {auto,xla,pallas,pallas_interpret,pallas_t,pallas_t_interpret}.
 
 Both implement the identical contract; tests assert equality.
 """
@@ -26,18 +29,18 @@ def _backend() -> str:
         platform = jax.default_backend()
     except Exception:  # pragma: no cover
         return "xla"
-    return "pallas" if platform == "tpu" else "xla"
+    return "pallas_t" if platform == "tpu" else "xla"
 
 
 def sgm_aggregate_auto(C, p1: float = 10.0, p2: float = 120.0,
                        directions: Sequence[Tuple[int, int]] = DIRECTIONS_8,
                        per_direction_penalties=None, out_dtype=None):
     b = _backend()
-    if b == "pallas":
+    if b in ("pallas", "pallas_t"):
         return sgm_aggregate_pallas(C, p1, p2, tuple(directions),
                                     per_direction_penalties,
                                     out_dtype=out_dtype)
-    if b == "pallas_interpret":
+    if b in ("pallas_interpret", "pallas_t_interpret"):
         return sgm_aggregate_pallas(C, p1, p2, tuple(directions),
                                     per_direction_penalties,
                                     out_dtype=out_dtype, interpret=True)

@@ -5,17 +5,32 @@ backends via speckle_size/speckle_range, cfg/i3DR_Disparity.cfg:33-34)
 and the engine's "Disparity Speckle Filter Max Difference = 0.5 / Max
 Region Size = 100" (ini/quick.param:94-95).
 
-TPU-native formulation: region growing is not expressible as a serial
-flood fill under XLA, so connected components are found by iterative
-min-label propagation with pointer-jumping (label doubling). Regions are
-connected through 4-neighbour edges whose disparity difference is within
-``max_diff``; components smaller than ``max_size`` are invalidated.
-Pointer jumping makes convergence logarithmic in region diameter, and
-speckle regions are by definition small (<= max_size pixels), so a fixed
-iteration budget is exact for every region that can possibly be filtered
-— larger regions may keep fragmented labels but can never fall below the
-size threshold anyway (fragments of giant regions are still above it for
-any sane budget; see tests for the oracle comparison vs cv2).
+TPU-native formulation — a scatter-free labelling phase. Serial flood
+fill doesn't exist under XLA, and pointer-jumping label propagation
+costs one scalar-core gather *per iteration* (~11 ms each at 1.2 MP —
+it was the single most expensive op in the whole pipeline). Instead:
+
+1. **Local min-label propagation only** (pure vector shifts): L
+   iterations over the 4-connected, |Δd| <= max_diff graph. L =
+   max_size + margin, because any *removable* region (size <= S) has
+   diameter < S and converges exactly within S iterations.
+2. **Exactness for big regions** without global convergence: pixels of
+   a region that has not converged must be kept (its true size exceeds
+   S — if any pixel were farther than L >= S hops away, the connecting
+   geodesic alone has > S distinct pixels). Detection: a region is
+   unconverged iff it still changes labels; any change in the last
+   iterations seeds a **dirty flag**, propagated along the same
+   connectivity (cheap boolean ORs). Min-propagation makes strict
+   progress next to every label catchment each round, and a catchment's
+   diameter is <= 2L, so 2L+4 dirty rounds reach every pixel of every
+   unconverged region. Converged regions see no changes and no dirty
+   leak-in (dirtiness travels only along region edges).
+3. **One** scatter-add histogram of the final labels + **one** gather
+   gives exact counts for converged regions.
+
+keep = valid & (dirty | count > max_size) then reproduces
+cv::filterSpeckles exactly (tests/test_ops.py holds it to the cv2
+oracle).
 """
 
 from __future__ import annotations
@@ -38,16 +53,19 @@ def _neighbor_shift(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
     return jnp.pad(x, pad, constant_values=fill)[tuple(idx)]
 
 
+_NEIGH = ((1, 0), (-1, 0), (0, 1), (0, -1))
+
+
 @partial(jax.jit, static_argnames=("max_size", "max_diff", "iters", "downsample"))
 def speckle_filter(disp: jax.Array, valid: jax.Array, *,
                    max_size: int = 100, max_diff: float = 1.0,
-                   iters: int = 16, downsample: int = 1) -> jax.Array:
+                   iters: int = 0, downsample: int = 1) -> jax.Array:
     """Return the updated valid mask with speckles removed.
 
     disp: (H, W) or (B, H, W) float disparities; valid: same-shape bool.
-    ``iters`` rounds of (4-neighbour min propagation + pointer jump).
+    ``iters`` overrides the propagation budget (0 = exact: max_size+2).
 
-    ``downsample`` > 1 runs the labeling on a strided subsample (size
+    ``downsample`` > 1 runs the labelling on a strided subsample (size
     threshold scaled by downsample^2) and broadcasts the verdict back —
     ~downsample^2 x cheaper; regions near the threshold may be judged
     slightly differently (the reference engine similarly speckle-filters
@@ -68,43 +86,48 @@ def speckle_filter(disp: jax.Array, valid: jax.Array, *,
         rej_full = rej_full[..., :disp.shape[-2], :disp.shape[-1]]
         return valid & ~rej_full
     batched = disp.ndim == 3
-    d = disp if batched else disp[None]
+    d = (disp if batched else disp[None]).astype(jnp.float32)
     v = valid if batched else valid[None]
     B, H, W = d.shape
     INF_LABEL = jnp.int32(H * W)
+    L = iters if iters > 0 else max_size + 2
 
     flat_ids = (jnp.arange(H * W, dtype=jnp.int32).reshape(1, H, W)
                 .repeat(B, axis=0))
     label = jnp.where(v, flat_ids, INF_LABEL)
 
-    neigh = ((1, 0), (-1, 0), (0, 1), (0, -1))
+    # 4-neighbour connectivity under the |Δd| <= max_diff rule
+    conn = []
+    for dy, dx in _NEIGH:
+        nd = _neighbor_shift(d, dy, dx, jnp.inf)
+        nv = _neighbor_shift(v, dy, dx, False)
+        conn.append(v & nv & (jnp.abs(d - nd) <= max_diff))
 
-    def connected(dd, vv):
-        """Per-direction connectivity masks (static python tuple)."""
-        masks = []
-        for dy, dx in neigh:
-            nd = _neighbor_shift(dd, dy, dx, jnp.inf)
-            nv = _neighbor_shift(vv, dy, dx, False)
-            masks.append(vv & nv & (jnp.abs(dd - nd) <= max_diff))
-        return masks
-
-    conn = connected(d, v)
-
-    def body(_, lab):
-        # min-label propagation over connected 4-neighbours
-        for (dy, dx), m in zip(neigh, conn):
+    def prop(lab):
+        for (dy, dx), m in zip(_NEIGH, conn):
             nl = _neighbor_shift(lab, dy, dx, INF_LABEL)
-            lab = jnp.where(m, jnp.minimum(lab, nl), lab)
-        # pointer jump: label <- label[label]
-        lab_flat = lab.reshape(B, H * W)
-        safe = jnp.clip(lab_flat, 0, H * W - 1)
-        jumped = jnp.take_along_axis(lab_flat, safe, axis=1)
-        lab = jnp.where(lab_flat < INF_LABEL, jumped, lab_flat).reshape(B, H, W)
+            lab = jnp.minimum(lab, jnp.where(m, nl, INF_LABEL))
         return lab
 
-    label = jax.lax.fori_loop(0, iters, body, label)
+    label = jax.lax.fori_loop(0, L, lambda _, lab: prop(lab), label)
 
-    # component sizes via scatter-add on root labels
+    # change-detection window: unconverged regions keep making progress
+    dirty = jnp.zeros((B, H, W), dtype=bool)
+    for _ in range(3):
+        nxt = prop(label)
+        dirty = dirty | (nxt != label)
+        label = nxt
+
+    # dirty spreads along region edges: diam(catchment) <= 2L, +margin
+    def spread(dt):
+        for (dy, dx), m in zip(_NEIGH, conn):
+            dt = dt | (m & _neighbor_shift(dt, dy, dx, False))
+        return dt
+
+    P = 2 * L + 4
+    dirty = jax.lax.fori_loop(0, P, lambda _, dt: spread(dt), dirty)
+
+    # exact sizes of (converged) components: one histogram + one lookup
     lab_flat = label.reshape(B, H * W)
     ones = jnp.where(lab_flat < INF_LABEL, 1, 0)
     safe = jnp.clip(lab_flat, 0, H * W - 1)
@@ -112,5 +135,5 @@ def speckle_filter(disp: jax.Array, valid: jax.Array, *,
     counts = jax.vmap(lambda c, s, o: c.at[s].add(o))(counts, safe, ones)
     size = jnp.take_along_axis(counts, safe, axis=1).reshape(B, H, W)
 
-    keep = v & (size > max_size)
+    keep = v & (dirty | (size > max_size))
     return keep if batched else keep[0]

@@ -179,5 +179,22 @@ def test_speckle_matches_opencv():
     keep = np.asarray(speckle_filter(jnp.asarray(disp),
                                      jnp.ones(disp.shape, bool),
                                      max_size=30, max_diff=1.0))
-    agree = (~keep) == cv_invalid
-    assert agree.mean() > 0.98
+    np.testing.assert_array_equal(~keep, cv_invalid)
+
+
+def test_speckle_matches_opencv_randomized():
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        H, W = 96, 128
+        disp = (rng.integers(0, 4, (H, W)) * 15).astype(np.float32)
+        disp = cv2.medianBlur(disp, 3)
+        for _ in range(30):
+            y, x = rng.integers(0, H - 4), rng.integers(0, W - 4)
+            s = rng.integers(1, 4)
+            disp[y:y + s, x:x + s] = rng.integers(0, 60)
+        cvd = (disp * 16).astype(np.int16)
+        cv2.filterSpeckles(cvd, -16, 25, 16)
+        keep = np.asarray(speckle_filter(jnp.asarray(disp),
+                                         jnp.ones(disp.shape, bool),
+                                         max_size=25, max_diff=1.0))
+        np.testing.assert_array_equal(~keep, cvd == -16)
