@@ -71,11 +71,19 @@ def _time_fn(fn, args, iters=5, warmup=2):
 
     first, rest = args[0], args[1:]
 
+    def _bump(x0, c):
+        # chain the carry into the input without changing dtype semantics
+        # (integer inputs: the cast rounds the tiny carry to 0, but the
+        # data dependence on the previous iteration's output remains)
+        if jnp.issubdtype(x0.dtype, jnp.floating):
+            return x0 + c.astype(x0.dtype)
+        return x0 + c.astype(jnp.int32).astype(x0.dtype)
+
     def make_loop(K):
         @jax.jit
         def loop(x0, *r):
             def body(c, _):
-                out = fn(x0 + c, *r)
+                out = fn(_bump(x0, c), *r)
                 leaf = jax.tree_util.tree_leaves(out)[0]
                 return leaf.ravel()[0].astype(jnp.float32) * 1e-20, None
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
@@ -90,6 +98,8 @@ def _time_fn(fn, args, iters=5, warmup=2):
     float(loop2(first, *rest))
 
     def run(loop, bump):
+        if not jnp.issubdtype(first.dtype, jnp.floating):
+            bump = jnp.zeros((), first.dtype)  # dependence chain still fresh
         t0 = time.perf_counter()
         float(loop(first + bump, *rest))
         return time.perf_counter() - t0

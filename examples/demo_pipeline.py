@@ -14,6 +14,8 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from i3dr_stereo_tpu.bridge.launch import launch_stereo_camera, run_source
 from i3dr_stereo_tpu.bridge.services import SaveStereoRequest
 from i3dr_stereo_tpu.config.params import Algorithm
@@ -29,8 +31,15 @@ def main(outdir: str = "examples/out") -> None:
     rig = StereoRig.synthetic(W, H, fx=580.0, baseline_m=0.3)
     src = SyntheticStereoSource(width=W, height=H, n_frames=5, max_disp=48)
 
+    # depth window sized to the synthetic rig: disparities 1..48 px at
+    # fx*T = 174 are 3.6..174 m, so the reference's 10 m default clamp
+    # (cfg/i3DR_pointCloud.cfg) would reject most of the scene
+    from i3dr_stereo_tpu.config.params import PointCloudConfig
+
     lg = launch_stereo_camera(rig, stereo_algorithm=Algorithm.I3DRSGM,
-                              source=src, rectify_inputs=False)
+                              source=src, rectify_inputs=False,
+                              cloud=PointCloudConfig(depth_max=200.0,
+                                                     depth_min=1.0))
     viewer = StereoViewer(lg.graph, "/stereo")
 
     with GLOBAL_METRICS.time("stream"):

@@ -121,6 +121,87 @@ def run_source(lg: LaunchedGraph, namespace: str = "/stereo",
     return n
 
 
+def launch_single_camera(*, serial: str = "00000001",
+                         namespace: str = "/phobos_nuclear",
+                         source=None,
+                         graph: Optional[Graph] = None) -> LaunchedGraph:
+    """single_cam_capture.launch: one camera-control node (reference
+    defaults: 1920x1200 @ 15 FPS, single_cam_capture.launch:9-16)."""
+    g = graph or Graph()
+    nodes = {
+        "ctrl": CameraControlNode(g, serial, namespace),
+        "source": source or SyntheticStereoSource(),
+    }
+    return LaunchedGraph(graph=g, nodes=nodes)
+
+
+def launch_description(name: str = "i3dr_stereo", *, baseline: float = 0.3,
+                       toe_in: float = 0.0) -> "RigDescription":
+    """stereo_description.launch: publish the TF frame tree of the rig
+    (urdf/i3dr_stereo_camera.urdf.xacro:8-19 frame names)."""
+    from i3dr_stereo_tpu.core.frames import RigDescription
+
+    return RigDescription(name=name, baseline=baseline, toe_in_deg=toe_in)
+
+
+def launch_processing(rig: StereoRig, *,
+                      stereo_algorithm: Algorithm = Algorithm.I3DRSGM,
+                      namespace: str = "/stereo",
+                      with_crop: bool = True,
+                      map_consumer=None,
+                      **matcher_kw) -> LaunchedGraph:
+    """stereo_processing.launch: matcher + depth/cloud + the downstream
+    mapping hook (the reference wires i3dr_rtabmap / pcl tools here,
+    stereo_processing.launch:88-122; those are external packages — the
+    hook subscribes ``map_consumer(stamp, points)`` to the cloud topic)."""
+    lg = launch_stereo_matcher(rig, stereo_algorithm=stereo_algorithm,
+                               namespace=namespace, with_crop=with_crop,
+                               **matcher_kw)
+    if map_consumer is not None:
+        lg.graph.subscribe(f"{namespace}/points2", map_consumer)
+    return lg
+
+
+def launch_stereo_calibration(*, namespace: str = "/stereo",
+                              board=None, n_target: int = 13,
+                              graph: Optional[Graph] = None) -> LaunchedGraph:
+    """stereo_calibration.launch: collect synchronized chessboard pairs
+    off the raw topics and solve the stereo calibration once ``n_target``
+    boards are seen (the reference delegates to ROS camera_calibration's
+    cameracalibrator.py, stereo_calibration.launch:48-56)."""
+    import numpy as np
+
+    from i3dr_stereo_tpu.io.calibrate import ChessboardSpec, calibrate_stereo
+    from i3dr_stereo_tpu.pipeline.pairing import ApproximateTimeSync
+
+    g = graph or Graph()
+    spec = board or ChessboardSpec()
+    state = {"lefts": [], "rights": [], "result": None}
+    sync = ApproximateTimeSync(slop=0.05)
+
+    def _drain():
+        for l, r in sync.pop_pairs():
+            if state["result"] is not None:
+                return
+            state["lefts"].append(np.asarray(l.data))
+            state["rights"].append(np.asarray(r.data))
+            if len(state["lefts"]) >= n_target:
+                state["result"] = calibrate_stereo(state["lefts"],
+                                                   state["rights"], spec)
+
+    def _on_left(stamp, img):
+        sync.push_left(stamp, img)
+        _drain()
+
+    def _on_right(stamp, img):
+        sync.push_right(stamp, img)
+        _drain()
+
+    g.subscribe(f"{namespace}/left/image_raw", _on_left)
+    g.subscribe(f"{namespace}/right/image_raw", _on_right)
+    return LaunchedGraph(graph=g, nodes={"calibrator": state})
+
+
 def launch_replay(rig: StereoRig, directory: str, *,
                   stereo_algorithm: Algorithm = Algorithm.SGBM,
                   namespace: str = "/stereo", fps: float = 5.0,

@@ -260,22 +260,31 @@ def _shift_carry(prev, dx, Wp):
     return jnp.where(liota == edge, 0.0, rolled)
 
 
-def _vdown_kernel(c_ref, out_ref, *carries, shifts, pens, D, Wp):
-    row = pl.program_id(1)
+def _vdown_kernel(c_ref, out_ref, *carries, shifts, pens, D, Wp, RB):
+    blk = pl.program_id(1)
 
-    @pl.when(row == 0)
+    @pl.when(blk == 0)
     def _():
         for cr in carries:
             cr[:] = jnp.zeros_like(cr)
 
-    c = _load_c_row(c_ref, D)
-    total = None
-    for cr, sh, (p1, p2) in zip(carries, shifts, pens):
-        L = _step_t(_shift_carry(cr[:], sh, Wp), c, p1, p2, D)
-        cr[:] = L
-        part = jnp.minimum(L, CLAMP)
-        total = part if total is None else total + part
-    out_ref[0, 0] = total.astype(jnp.int32).astype(jnp.int16)
+    for r in range(RB):  # RB rows per grid step amortize dispatch + DMA
+        ci = c_ref[0, r].astype(jnp.int32)
+        c = jnp.where(ci == U8_SENTINEL, BIG, ci.astype(jnp.float32))
+        total = None
+        for cr, sh, (p1, p2) in zip(carries, shifts, pens):
+            L = _step_t(_shift_carry(cr[:], sh, Wp), c, p1, p2, D)
+            cr[:] = L
+            part = jnp.minimum(L, CLAMP)
+            total = part if total is None else total + part
+        out_ref[0, r] = total.astype(jnp.int32).astype(jnp.int16)
+
+
+def _pick_rb(Hp: int) -> int:
+    rb = 8
+    while Hp % rb:
+        rb //= 2
+    return max(rb, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("shifts", "pens", "interpret"))
@@ -284,13 +293,14 @@ def vsweep_down_t(C_T: jax.Array, shifts: Tuple[int, ...],
                   *, interpret: bool = False) -> jax.Array:
     """Top-down sweep over (B, Hp, D, Wp); diagonals = lane shifts."""
     B, Hp, D, Wp = C_T.shape
+    RB = _pick_rb(Hp)
     kern = functools.partial(_vdown_kernel, shifts=shifts, pens=pens,
-                             D=D, Wp=Wp)
-    spec = pl.BlockSpec((1, 1, D, Wp), lambda b, i: (b, i, 0, 0),
+                             D=D, Wp=Wp, RB=RB)
+    spec = pl.BlockSpec((1, RB, D, Wp), lambda b, i: (b, i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        grid=(B, Hp),
+        grid=(B, Hp // RB),
         in_specs=[spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(C_T.shape, jnp.int16),
@@ -300,44 +310,49 @@ def vsweep_down_t(C_T: jax.Array, shifts: Tuple[int, ...],
 
 
 def _vup_wta_kernel(c_ref, sh_ref, sd_ref, disp_ref, *carries, shifts, pens,
-                    D, Wp, subpixel, uniqueness_ratio):
-    row = pl.program_id(1)
+                    D, Wp, RB, subpixel, uniqueness_ratio):
+    blk = pl.program_id(1)
 
-    @pl.when(row == 0)
+    @pl.when(blk == 0)
     def _():
         for cr in carries:
             cr[:] = jnp.zeros_like(cr)
 
-    c = _load_c_row(c_ref, D)
-    cmin = jnp.min(c_ref[0, 0].astype(jnp.int32), axis=0, keepdims=True)
-    S = (sh_ref[0, 0].astype(jnp.int32)
-         + sd_ref[0, 0].astype(jnp.int32)).astype(jnp.float32)
-    for cr, sh, (p1, p2) in zip(carries, shifts, pens):
-        L = _step_t(_shift_carry(cr[:], sh, Wp), c, p1, p2, D)
-        cr[:] = L
-        S = S + jnp.minimum(L, CLAMP)
+    for r in range(RB - 1, -1, -1):  # bottom-up within the block
+        ci = c_ref[0, r].astype(jnp.int32)
+        c = jnp.where(ci == U8_SENTINEL, BIG, ci.astype(jnp.float32))
+        cmin = jnp.min(ci, axis=0, keepdims=True)
+        S = (sh_ref[0, r].astype(jnp.int32)
+             + sd_ref[0, r].astype(jnp.int32)).astype(jnp.float32)
+        for cr, sh, (p1, p2) in zip(carries, shifts, pens):
+            L = _step_t(_shift_carry(cr[:], sh, Wp), c, p1, p2, D)
+            cr[:] = L
+            S = S + jnp.minimum(L, CLAMP)
 
-    diota = jax.lax.broadcasted_iota(jnp.int32, (D, Wp), 0)
-    m = jnp.min(S, axis=0, keepdims=True)                             # (1,Wp)
-    db = jnp.min(jnp.where(S == m, diota, D), axis=0, keepdims=True)  # (1,Wp)
-    valid = (m < 9999.0) & (cmin < U8_SENTINEL)
-    if uniqueness_ratio > 0.0:
-        far = jnp.abs(diota - db) > 1
-        min_far = jnp.min(jnp.where(far, S, BIG), axis=0, keepdims=True)
-        valid = valid & (min_far * (100.0 - uniqueness_ratio) >= m * 100.0)
-    disp = db.astype(jnp.float32)
-    if subpixel:
-        onehot = diota == db
-        Sm_roll = jnp.where(diota == 0, S, pltpu.roll(S, 1, axis=0))
-        Sp_roll = jnp.where(diota == D - 1, S, pltpu.roll(S, D - 1, axis=0))
-        Sm = jnp.sum(jnp.where(onehot, Sm_roll, 0.0), axis=0, keepdims=True)
-        Sp = jnp.sum(jnp.where(onehot, Sp_roll, 0.0), axis=0, keepdims=True)
-        denom = Sm + Sp - 2.0 * m
-        off = jnp.where(denom > 1e-9, (Sm - Sp) / (2.0 * denom), 0.0)
-        off = jnp.clip(off, -0.5, 0.5)
-        interior = (db > 0) & (db < D - 1)
-        disp = disp + jnp.where(interior, off, 0.0)
-    disp_ref[0, 0] = jnp.where(valid, disp, NODATA)
+        diota = jax.lax.broadcasted_iota(jnp.int32, (D, Wp), 0)
+        m = jnp.min(S, axis=0, keepdims=True)                            # (1,Wp)
+        db = jnp.min(jnp.where(S == m, diota, D), axis=0, keepdims=True)
+        valid = (m < 9999.0) & (cmin < U8_SENTINEL)
+        if uniqueness_ratio > 0.0:
+            far = jnp.abs(diota - db) > 1
+            min_far = jnp.min(jnp.where(far, S, BIG), axis=0, keepdims=True)
+            valid = valid & (min_far * (100.0 - uniqueness_ratio) >= m * 100.0)
+        disp = db.astype(jnp.float32)
+        if subpixel:
+            onehot = diota == db
+            Sm_roll = jnp.where(diota == 0, S, pltpu.roll(S, 1, axis=0))
+            Sp_roll = jnp.where(diota == D - 1, S,
+                                pltpu.roll(S, D - 1, axis=0))
+            Sm = jnp.sum(jnp.where(onehot, Sm_roll, 0.0), axis=0,
+                         keepdims=True)
+            Sp = jnp.sum(jnp.where(onehot, Sp_roll, 0.0), axis=0,
+                         keepdims=True)
+            denom = Sm + Sp - 2.0 * m
+            off = jnp.where(denom > 1e-9, (Sm - Sp) / (2.0 * denom), 0.0)
+            off = jnp.clip(off, -0.5, 0.5)
+            interior = (db > 0) & (db < D - 1)
+            disp = disp + jnp.where(interior, off, 0.0)
+        disp_ref[0, r] = jnp.where(valid, disp, NODATA)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -350,17 +365,19 @@ def vsweep_up_wta_t(C_T: jax.Array, S_hT: jax.Array, S_down: jax.Array,
     """Bottom-up sweep + full-sum WTA. Returns (B, Hp, Wp) float32
     residual disparities with NODATA at invalid pixels."""
     B, Hp, D, Wp = C_T.shape
+    RB = _pick_rb(Hp)
+    nb = Hp // RB
     kern = functools.partial(_vup_wta_kernel, shifts=shifts, pens=pens,
-                             D=D, Wp=Wp, subpixel=subpixel,
+                             D=D, Wp=Wp, RB=RB, subpixel=subpixel,
                              uniqueness_ratio=float(uniqueness_ratio))
-    spec = pl.BlockSpec((1, 1, D, Wp), lambda b, i: (b, Hp - 1 - i, 0, 0),
+    spec = pl.BlockSpec((1, RB, D, Wp), lambda b, i: (b, nb - 1 - i, 0, 0),
                         memory_space=pltpu.VMEM)
     # (B, Hp, 1, Wp) keeps the last-two block dims tile-legal
-    disp_spec = pl.BlockSpec((1, 1, 1, Wp), lambda b, i: (b, Hp - 1 - i, 0, 0),
+    disp_spec = pl.BlockSpec((1, RB, 1, Wp), lambda b, i: (b, nb - 1 - i, 0, 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
-        grid=(B, Hp),
+        grid=(B, nb),
         in_specs=[spec, spec, spec],
         out_specs=disp_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hp, 1, Wp), jnp.float32),

@@ -35,10 +35,22 @@ oracle).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+
+def _backend() -> str:
+    b = os.environ.get("I3DR_SPECKLE_BACKEND", "auto")
+    if b != "auto":
+        return b
+    try:
+        platform = jax.default_backend()
+    except Exception:  # pragma: no cover
+        return "xla"
+    return "pallas" if platform == "tpu" else "xla"
 
 
 def _neighbor_shift(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
@@ -74,17 +86,44 @@ def speckle_filter(disp: jax.Array, valid: jax.Array, *,
     if max_size <= 0:
         return valid
     if downsample > 1:
+        # block-reduce subsample, NOT a strided pick: lane-strided slices
+        # and jnp.repeat cost ~26 ms at 2448x2048 on TPU, while
+        # reshape+reduce / broadcast compile to full-bandwidth passes.
+        # Each kxk block is represented by its min valid disparity.
         k = downsample
-        dd = disp[..., ::k, ::k]
-        vv = valid[..., ::k, ::k]
+        batched = disp.ndim == 3
+        d3 = disp if batched else disp[None]
+        v3 = valid if batched else valid[None]
+        B, H, W = d3.shape
+        H2, W2 = -(-H // k), -(-W // k)
+        pH, pW = H2 * k - H, W2 * k - W
+        d3p = jnp.pad(d3.astype(jnp.float32), ((0, 0), (0, pH), (0, pW)))
+        v3p = jnp.pad(v3, ((0, 0), (0, pH), (0, pW)))
+        blk = jnp.where(v3p, d3p, jnp.inf).reshape(B, H2, k, W2, k)
+        dd = blk.min(axis=(2, 4))
+        vv = v3p.reshape(B, H2, k, W2, k).any(axis=(2, 4))
         keep_small = speckle_filter(dd, vv,
                                     max_size=max(max_size // (k * k), 1),
                                     max_diff=max_diff * k,
                                     iters=iters, downsample=1)
         rejected = vv & ~keep_small
-        rej_full = jnp.repeat(jnp.repeat(rejected, k, axis=-2), k, axis=-1)
-        rej_full = rej_full[..., :disp.shape[-2], :disp.shape[-1]]
-        return valid & ~rej_full
+        rej_full = jnp.broadcast_to(rejected[:, :, None, :, None],
+                                    (B, H2, k, W2, k)).reshape(B, H2 * k,
+                                                               W2 * k)
+        keep = v3 & ~rej_full[:, :H, :W]
+        return keep if batched else keep[0]
+    b = _backend()
+    if iters == 0 and b in ("pallas", "pallas_interpret"):
+        # fused on-chip CCL kernel (same exact semantics, ~10x faster:
+        # all propagation rounds in VMEM, no scatter/gather)
+        from i3dr_stereo_tpu.ops.speckle_pallas import speckle_filter_pallas
+
+        d3 = disp if disp.ndim == 3 else disp[None]
+        v3 = valid if valid.ndim == 3 else valid[None]
+        keep = speckle_filter_pallas(d3, v3, max_size=max_size,
+                                     max_diff=max_diff,
+                                     interpret=b == "pallas_interpret")
+        return keep if disp.ndim == 3 else keep[0]
     batched = disp.ndim == 3
     d = (disp if batched else disp[None]).astype(jnp.float32)
     v = valid if batched else valid[None]

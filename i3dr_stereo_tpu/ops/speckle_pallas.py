@@ -1,0 +1,253 @@
+"""Speckle filter as a single fused Pallas TPU kernel — exact,
+scatter-free connected-component labelling entirely in VMEM.
+
+Semantics: remove (invalidate) every 4-connected component of the
+``|Δd| <= max_diff`` disparity graph whose pixel count is <= max_size —
+cv::filterSpeckles (the reference's speckle_size/speckle_range params,
+cfg/i3DR_Disparity.cfg:33-34, and the engine's "Disparity Speckle
+Filter Max Difference / Max Region Size", ini/quick.param:94-95).
+
+The XLA formulation (:mod:`~.speckle`) is exact but pays ~90 HBM-bound
+propagation rounds plus one scalar-core scatter-add histogram + gather —
+measured 43 ms at 1024x1224 on v5e (76% of the whole flagship frame).
+This kernel keeps every round on-chip and replaces the histogram with a
+systolic mass drain (pure VPU ops):
+
+- the image is tiled into CORE x CORE cores, each processed with a halo
+  of ``HALO >= max_size + 1`` on all sides. A removable region (size <=
+  S) has diameter < S, so any region that touches a tile core and is not
+  fully inside core+halo has size > S and must be kept anyway — verdicts
+  for core pixels are therefore *exact* from tile-local data;
+- per tile, in VMEM: (1) S+2 rounds of 4-neighbour min-label
+  propagation; (2) "contested" = any connected edge whose endpoints
+  still disagree on label (=> unconverged => big region), plus the tile
+  rim (region may extend beyond the window); (3) BFS distance from each
+  root (label == own id) through *label-respecting* edges, giving every
+  pixel a parent direction; (4) S+2 systolic rounds draining unit mass
+  up the parent forest — the root's increment at round t is exactly the
+  number of pixels at depth t, and BFS depths are contiguous, so a zero
+  increment in the last two rounds proves the whole catchment was
+  counted ("settled"); (5) a root removes its catchment iff settled,
+  uncontested and count <= S — in that case the catchment provably *is*
+  the entire component and the count is exact; (6) S+2 rounds broadcast
+  the verdict back over the same edges.
+
+Label-respecting edges (step 3) matter: a big region whose labels have
+not converged can contain several roots, and a catchment boundary need
+not coincide with a label boundary — restricting the forest to equal-
+label edges makes every catchment a maximal same-label component, whose
+escape edges are exactly the contested ones. Every removal is then
+provably a full component of size <= S, and every size-<= S component is
+removed (its labels converge within S rounds). Tests hold both Pallas
+and XLA paths to the cv2.filterSpeckles oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_DIRS = ((1, 0), (-1, 0), (0, 1), (0, -1))
+INVALID = -1.0e12
+_INF = 2 ** 30  # python int: jnp scalars would be captured consts in pallas
+
+
+def _roll2(x, dy, dx):
+    """r[p] = x[p - (dy, dx)] with wraparound (edges masked by callers
+    via the connectivity masks, which are edge-clean by construction)."""
+    if dy:
+        x = pltpu.roll(x, dy % x.shape[0], axis=0)
+    if dx:
+        x = pltpu.roll(x, dx % x.shape[1], axis=1)
+    return x
+
+
+def _kernel(*refs, CORE, HALO, S, max_diff, tiled):
+    if tiled:
+        blocks = refs[:9]
+        out_ref = refs[9]
+        win_ref = refs[10]
+        WH = CORE + 2 * HALO
+        # assemble the core+halo window from the 3x3 block mosaic
+        win_ref[HALO:HALO + CORE, HALO:HALO + CORE] = blocks[4][0]
+        win_ref[:HALO, HALO:HALO + CORE] = blocks[1][0][CORE - HALO:, :]
+        win_ref[HALO + CORE:, HALO:HALO + CORE] = blocks[7][0][:HALO, :]
+        win_ref[HALO:HALO + CORE, :HALO] = blocks[3][0][:, CORE - HALO:]
+        win_ref[HALO:HALO + CORE, HALO + CORE:] = blocks[5][0][:, :HALO]
+        win_ref[:HALO, :HALO] = blocks[0][0][CORE - HALO:, CORE - HALO:]
+        win_ref[:HALO, HALO + CORE:] = blocks[2][0][CORE - HALO:, :HALO]
+        win_ref[HALO + CORE:, :HALO] = blocks[6][0][:HALO, CORE - HALO:]
+        win_ref[HALO + CORE:, HALO + CORE:] = blocks[8][0][:HALO, :HALO]
+        d = win_ref[:]
+    else:
+        d = refs[0][0]
+        out_ref = refs[1]
+
+    WH, WW = d.shape
+    v = d > INVALID / 2
+    ri = jax.lax.broadcasted_iota(jnp.int32, (WH, WW), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (WH, WW), 1)
+
+    # 4-neighbour connectivity (edge-clean: wrapped rows/cols masked out)
+    conn = []
+    for dy, dx in _DIRS:
+        rd = _roll2(d, dy, dx)
+        edge_ok = ((ri >= max(dy, 0)) & (ri < WH + min(dy, 0))
+                   & (ci >= max(dx, 0)) & (ci < WW + min(dx, 0)))
+        conn.append(edge_ok & v & (rd > INVALID / 2)
+                    & (jnp.abs(d - rd) <= max_diff))
+
+    pid = ri * WW + ci
+    label0 = jnp.where(v, pid, _INF)
+
+    def lab_round(_, lab):
+        for (dy, dx), m in zip(_DIRS, conn):
+            lab = jnp.minimum(lab, jnp.where(m, _roll2(lab, dy, dx), _INF))
+        return lab
+
+    label = jax.lax.fori_loop(0, S + 2, lab_round, label0)
+
+    # contested: connected neighbours disagreeing on label (unconverged
+    # region), or the window rim when the window truncates the image
+    contested = jnp.zeros((WH, WW), jnp.bool_)
+    conn_lab = []
+    for (dy, dx), m in zip(_DIRS, conn):
+        rl = _roll2(label, dy, dx)
+        same = rl == label
+        contested = contested | (m & ~same)
+        conn_lab.append(m & same)
+    if tiled:
+        rim = (ri == 0) | (ri == WH - 1) | (ci == 0) | (ci == WW - 1)
+        contested = contested | (rim & v)
+
+    # BFS distance from each root through label-respecting edges
+    root = v & (label == pid)
+    dist0 = jnp.where(root, 0, _INF)
+
+    def dist_round(_, dist):
+        for (dy, dx), m in zip(_DIRS, conn_lab):
+            dist = jnp.minimum(dist,
+                               jnp.where(m, _roll2(dist, dy, dx) + 1, _INF))
+        return dist
+
+    dist = jax.lax.fori_loop(0, S + 2, dist_round, dist0)
+
+    # parent direction: first neighbour one BFS step closer (-1 = none)
+    pd = jnp.full((WH, WW), -1, jnp.int32)
+    for k, ((dy, dx), m) in enumerate(zip(_DIRS, conn_lab)):
+        ok = m & (_roll2(dist, dy, dx) == dist - 1) & (pd < 0) & ~root
+        pd = jnp.where(ok, k, pd)
+
+    # systolic mass drain up the parent forest; root tallies arrivals.
+    # tail = arrivals in the last two rounds: zero iff the catchment's
+    # BFS depth <= S, i.e. every pixel was counted ("settled")
+    m0 = jnp.where(v & ~root, 1, 0)
+    cnt0 = jnp.where(root, 1, 0)
+    f0 = jnp.where(contested, 1, 0)
+
+    def mass_round(t, carry):
+        m, cnt, tail, f = carry
+        inc = jnp.zeros((WH, WW), jnp.int32)
+        finc = jnp.zeros((WH, WW), jnp.int32)
+        for k, (dy, dx) in enumerate(_DIRS):
+            # child q sends to direction k; it lands at q + (dy, dx) of
+            # the OPPOSITE roll (parent is one step against (dy, dx))
+            inc = inc + _roll2(jnp.where(pd == k, m, 0), -dy, -dx)
+            finc = jnp.maximum(finc, _roll2(jnp.where(pd == k, f, 0),
+                                            -dy, -dx))
+        cnt = cnt + jnp.where(root, inc, 0)
+        tail = tail + jnp.where(root & (t >= S), inc, 0)
+        m = jnp.where(root, 0, inc)
+        f = jnp.maximum(f, finc)
+        return m, cnt, tail, f
+
+    _, cnt, tail, f = jax.lax.fori_loop(
+        0, S + 2, mass_round, (m0, cnt0, jnp.zeros((WH, WW), jnp.int32), f0))
+
+    # int32 carry: Mosaic has no rotate for 1-bit vectors
+    rm = (root & (tail == 0) & (f == 0) & (cnt <= S)).astype(jnp.int32)
+
+    def bc_round(_, r):
+        for (dy, dx), m in zip(_DIRS, conn_lab):
+            r = jnp.maximum(r, jnp.where(m, _roll2(r, dy, dx), 0))
+        return r
+
+    rm = jax.lax.fori_loop(0, S + 2, bc_round, rm)
+    keep = (v & (rm == 0)).astype(jnp.float32)
+    if tiled:
+        out_ref[0] = keep[HALO:HALO + CORE, HALO:HALO + CORE]
+    else:
+        out_ref[0] = keep
+
+
+def _ceil_to(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_size", "max_diff", "interpret"))
+def speckle_filter_pallas(disp: jax.Array, valid: jax.Array, *,
+                          max_size: int, max_diff: float,
+                          interpret: bool = False) -> jax.Array:
+    """Exact cv::filterSpeckles keep-mask on TPU. disp/valid: (B, H, W)."""
+    B, H, W = disp.shape
+    S = int(max_size)
+    d = jnp.where(valid, disp.astype(jnp.float32), INVALID)
+
+    single = H * W <= 320 * 512 or S + 1 > 128
+    if single:
+        # whole image in one window (small frames / huge thresholds)
+        Hp, Wp = _ceil_to(H, 8), _ceil_to(W, 128)
+        dp = jnp.pad(d, ((0, 0), (0, Hp - H), (0, Wp - W)),
+                     constant_values=INVALID)
+        kern = functools.partial(_kernel, CORE=0, HALO=0, S=S,
+                                 max_diff=float(max_diff), tiled=False)
+        keep = pl.pallas_call(
+            kern,
+            grid=(B,),
+            in_specs=[pl.BlockSpec((1, Hp, Wp), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, Hp, Wp), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(dp)
+        return valid & (keep[:, :H, :W] > 0.5)
+
+    CORE = 256
+    HALO = _ceil_to(S + 1, 8)
+    nH, nW = pl.cdiv(H, CORE), pl.cdiv(W, CORE)
+    # one CORE of padding on every side keeps all 3x3 neighbour block
+    # indices in range; the pad value is INVALID (outside the image)
+    Hp, Wp = (nH + 2) * CORE, (nW + 2) * CORE
+    dp = jnp.pad(d, ((0, 0), (CORE, Hp - H - CORE), (CORE, Wp - W - CORE)),
+                 constant_values=INVALID)
+
+    def spec(oy, ox):
+        return pl.BlockSpec((1, CORE, CORE),
+                            lambda b, i, j: (b, i + 1 + oy, j + 1 + ox),
+                            memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_kernel, CORE=CORE, HALO=HALO, S=S,
+                             max_diff=float(max_diff), tiled=True)
+    keep = pl.pallas_call(
+        kern,
+        grid=(B, nH, nW),
+        in_specs=[spec(oy, ox) for oy in (-1, 0, 1) for ox in (-1, 0, 1)],
+        out_specs=pl.BlockSpec((1, CORE, CORE), lambda b, i, j: (b, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nH * CORE, nW * CORE),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((CORE + 2 * HALO, CORE + 2 * HALO),
+                                   jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*([dp] * 9))
+    return valid & (keep[:, :H, :W] > 0.5)
