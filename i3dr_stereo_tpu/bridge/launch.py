@@ -141,7 +141,8 @@ def launch_description(name: str = "i3dr_stereo", *, baseline: float = 0.3,
     (urdf/i3dr_stereo_camera.urdf.xacro:8-19 frame names)."""
     from i3dr_stereo_tpu.core.frames import RigDescription
 
-    return RigDescription(name=name, baseline=baseline, toe_in_deg=toe_in)
+    return RigDescription(camera_name=name, baseline=baseline,
+                          toe_in_l=toe_in, toe_in_r=toe_in)
 
 
 def launch_processing(rig: StereoRig, *,

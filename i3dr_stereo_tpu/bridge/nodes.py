@@ -122,11 +122,16 @@ class GenerateDisparityNode(Node):
 
     # -- reconfigure ----------------------------------------------------------
     def _on_disparity_reconf(self, flat, changed):
-        self.pipeline.config = apply_flat_params(self.pipeline.config, flat)
+        # apply only the keys that changed: re-coercing the whole flat
+        # dict would clamp unrelated fields through the schema's types
+        # (e.g. engine speckle_range 0.5 -> int 0)
+        self.pipeline.config = apply_flat_params(
+            self.pipeline.config, {k: flat[k] for k in changed})
         self.pipeline._cache.clear()
 
     def _on_cloud_reconf(self, flat, changed):
-        self.pipeline.cloud = apply_cloud_params(self.pipeline.cloud, flat)
+        self.pipeline.cloud = apply_cloud_params(
+            self.pipeline.cloud, {k: flat[k] for k in changed})
         self.pipeline._cache.clear()
 
     # -- services -------------------------------------------------------------

@@ -100,9 +100,13 @@ class ReconfigureServer:
                 if k in self.schema:
                     self.values[k] = _clamp(self.schema[k], v)
         self._cb = callback
-        # first-callback-writes-back idiom: announce initial values once
-        if self._cb:
-            self._cb(dict(self.values), list(self.values))
+        # NOTE the reference's first-callback-writes-back idiom
+        # (generate_disparity.cpp:737-756) pushes the NODE's initial
+        # values into the GUI — never the schema defaults into the node.
+        # Here that direction is the ``initial=`` seeding above; invoking
+        # the callback at construction would push schema-clamped values
+        # back into the owner (e.g. float speckle_range 0.5 -> int 0,
+        # which speckle-filters away every pixel), so we do not.
 
     def update(self, **kw) -> Dict[str, Any]:
         changed = []
@@ -154,7 +158,12 @@ def apply_flat_params(cfg: MatcherConfig, flat: Dict[str, Any]) -> MatcherConfig
                 v = Algorithm(int(v))
             kw[field] = v
     if "fullDP" in flat:
-        kw["num_directions"] = 8 if flat["fullDP"] else 5
+        # fullDP toggles 5 <-> 8 path SGBM; a 4-direction engine profile
+        # (I3DRSGM quick.param:144-147) is not "fullDP off", leave it be
+        if flat["fullDP"]:
+            kw["num_directions"] = 8
+        elif cfg.num_directions == 8:
+            kw["num_directions"] = 5
     return cfg.replace(**kw)
 
 

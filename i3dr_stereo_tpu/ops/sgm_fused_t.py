@@ -245,11 +245,6 @@ def hsweep_rev_sum_t(C: jax.Array, S_fwd: jax.Array, p1: float, p2: float,
 # vertical sweeps on the (B, Hp, D, Wp) transpose
 # ---------------------------------------------------------------------------
 
-def _load_c_row(c_ref, D):
-    ci = c_ref[0, 0].astype(jnp.int32)
-    return jnp.where(ci == U8_SENTINEL, BIG, ci.astype(jnp.float32))
-
-
 def _shift_carry(prev, dx, Wp):
     """shifted[x] = prev[x - dx], entering column zeroed (ops.sgm edge)."""
     if dx == 0:

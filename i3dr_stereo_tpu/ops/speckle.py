@@ -68,10 +68,10 @@ def _neighbor_shift(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
 _NEIGH = ((1, 0), (-1, 0), (0, 1), (0, -1))
 
 
-@partial(jax.jit, static_argnames=("max_size", "max_diff", "iters", "downsample"))
 def speckle_filter(disp: jax.Array, valid: jax.Array, *,
                    max_size: int = 100, max_diff: float = 1.0,
-                   iters: int = 0, downsample: int = 1) -> jax.Array:
+                   iters: int = 0, downsample: int = 1,
+                   backend: str | None = None) -> jax.Array:
     """Return the updated valid mask with speckles removed.
 
     disp: (H, W) or (B, H, W) float disparities; valid: same-shape bool.
@@ -82,7 +82,24 @@ def speckle_filter(disp: jax.Array, valid: jax.Array, *,
     ~downsample^2 x cheaper; regions near the threshold may be judged
     slightly differently (the reference engine similarly speckle-filters
     at pyramid scales, ini/quick.param per-level sections).
+
+    ``backend`` (None=auto from I3DR_SPECKLE_BACKEND/platform) is resolved
+    here, OUTSIDE jit, and threaded through as part of the jit cache key —
+    changing the env var mid-process takes effect on the next call.
     """
+    if backend is None:
+        backend = _backend()
+    return _speckle_filter_impl(disp, valid, max_size=max_size,
+                                max_diff=max_diff, iters=iters,
+                                downsample=downsample, backend=backend)
+
+
+@partial(jax.jit, static_argnames=("max_size", "max_diff", "iters",
+                                   "downsample", "backend"))
+def _speckle_filter_impl(disp: jax.Array, valid: jax.Array, *,
+                         max_size: int, max_diff: float,
+                         iters: int, downsample: int,
+                         backend: str) -> jax.Array:
     if max_size <= 0:
         return valid
     if downsample > 1:
@@ -102,17 +119,25 @@ def speckle_filter(disp: jax.Array, valid: jax.Array, *,
         blk = jnp.where(v3p, d3p, jnp.inf).reshape(B, H2, k, W2, k)
         dd = blk.min(axis=(2, 4))
         vv = v3p.reshape(B, H2, k, W2, k).any(axis=(2, 4))
-        keep_small = speckle_filter(dd, vv,
-                                    max_size=max(max_size // (k * k), 1),
-                                    max_diff=max_diff * k,
-                                    iters=iters, downsample=1)
+        keep_small = _speckle_filter_impl(dd, vv,
+                                          max_size=max(max_size // (k * k), 1),
+                                          max_diff=max_diff * k,
+                                          iters=iters, downsample=1,
+                                          backend=backend)
         rejected = vv & ~keep_small
         rej_full = jnp.broadcast_to(rejected[:, :, None, :, None],
                                     (B, H2, k, W2, k)).reshape(B, H2 * k,
                                                                W2 * k)
         keep = v3 & ~rej_full[:, :H, :W]
         return keep if batched else keep[0]
-    b = _backend()
+    b = backend
+    H, W = disp.shape[-2], disp.shape[-1]
+    if (b in ("pallas", "pallas_interpret") and max_size + 1 > 128
+            and H * W > 320 * 512):
+        # large-threshold single-window Pallas path would pull the whole
+        # frame (plus ~10 live planes) into VMEM — at full res that blows
+        # the 100 MB limit and fails to compile. XLA handles it fine.
+        b = "xla"
     if iters == 0 and b in ("pallas", "pallas_interpret"):
         # fused on-chip CCL kernel (same exact semantics, ~10x faster:
         # all propagation rounds in VMEM, no scatter/gather)

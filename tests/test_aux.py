@@ -18,6 +18,18 @@ from i3dr_stereo_tpu.viz.colormap import depth_to_color, disparity_to_color
 from i3dr_stereo_tpu.viz.viewer import montage
 
 
+def test_launch_description_smoke():
+    # stereo_description.launch analog: must construct a RigDescription
+    # with the requested name/baseline/toe-in (regression: kwargs drift)
+    from i3dr_stereo_tpu.bridge.launch import launch_description
+
+    d = launch_description("rigX", baseline=0.25, toe_in=2.0)
+    assert d.camera_name == "rigX"
+    assert d.baseline == 0.25
+    assert d.toe_in_l == 2.0 and d.toe_in_r == 2.0
+    assert "rigX_cameraLeft_optical" in d.frame_tree()
+
+
 def test_frame_tree_names_match_reference():
     # urdf/i3dr_stereo_camera.urdf.xacro:8-19 frame names
     d = RigDescription(camera_name="phobos", baseline=0.3)

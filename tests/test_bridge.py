@@ -93,6 +93,31 @@ def test_reconfigure_changes_algorithm():
     assert node.frames_processed == 1
 
 
+def test_reconfigure_init_preserves_node_config():
+    """Constructing the node must NOT round-trip its config through the
+    schema (regression: float speckle_range 0.5 was int-coerced to 0 and
+    the engine speckle-filtered away every pixel; depth_max was clamped
+    to the GUI range; num_directions 4 became 5)."""
+    rig = _rig()
+    cfg = ALGORITHM_DEFAULTS[Algorithm.I3DRSGM].replace(disparity_range=16)
+    from i3dr_stereo_tpu.config.params import PointCloudConfig
+
+    lg = launch_stereo_matcher(rig, stereo_algorithm=Algorithm.I3DRSGM,
+                               config=cfg, rectify_inputs=False,
+                               cloud=PointCloudConfig(depth_max=200.0,
+                                                      depth_min=1.0),
+                               warmup=False)
+    node = lg.node("generate_disparity")
+    assert node.pipeline.config.speckle_range == 0.5
+    assert node.pipeline.config.num_directions == 4
+    assert node.pipeline.cloud.depth_max == 200.0
+    # a later single-key update must not disturb unrelated fields either
+    node.disparity_cfg.update(p1=0.2)
+    assert node.pipeline.config.p1 == 0.2
+    assert node.pipeline.config.speckle_range == 0.5
+    assert node.pipeline.config.num_directions == 4
+
+
 def test_reconfigure_clamps_to_schema():
     rs = ReconfigureServer(DISPARITY_SCHEMA)
     vals = rs.update(disparity_range=5000, prefilter_cap=99)

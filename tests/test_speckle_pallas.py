@@ -76,3 +76,20 @@ def test_batched():
     v = rng.random((2, 40, 130)) > 0.2
     np.testing.assert_array_equal(_pallas_keep(d, v, 9, 1.0),
                                   _xla_keep(d, v, 9, 1.0))
+
+
+def test_large_threshold_big_frame_falls_back_to_xla():
+    """max_size+1 > 128 forces the single-window Pallas path, which at
+    full resolution would exceed VMEM; the dispatcher must reroute those
+    shapes to XLA instead of failing to compile (ADVICE r2)."""
+    from i3dr_stereo_tpu.ops.speckle import speckle_filter
+
+    rng = np.random.default_rng(4)
+    H, W = 400, 560  # > 320*512 px with S+1 > 128 -> must not take pallas
+    d = (rng.integers(0, 3, (1, H, W)) * 4.0).astype(np.float32)
+    v = rng.random((1, H, W)) > 0.15
+    out = np.asarray(speckle_filter(d, v, max_size=200, max_diff=1.0,
+                                    backend="pallas"))
+    ref = np.asarray(speckle_filter(d, v, max_size=200, max_diff=1.0,
+                                    backend="xla"))
+    np.testing.assert_array_equal(out, ref)
