@@ -196,16 +196,24 @@ class RectifyNode(Node):
 
 class DisparityToDepthNode(Node):
     """disparity_to_depth.cpp as a subscriber node (for graphs that run
-    the matcher without fused depth, e.g. external disparity sources)."""
+    the matcher without fused depth, e.g. external disparity sources).
+
+    Disparity and rect-left are ApproximateTime-synced by stamp before a
+    cloud is produced, matching the reference's 3-way synchronizer of
+    disparity + rect + infos (disparity_to_depth.cpp:55-57, 274-280; the
+    camera infos are static here — the rig passed at construction). An
+    out-of-order rect frame therefore can no longer color/mask the cloud
+    of a different frame."""
 
     def __init__(self, graph: Graph, rig: StereoRig, namespace="/stereo",
                  name="disparity_to_depth", depth_max=10.0, depth_min=0.0,
-                 remaps=None):
+                 slop=0.05, remaps=None):
         super().__init__(graph, name, namespace, remaps or {})
         import jax
         import jax.numpy as jnp
 
         from i3dr_stereo_tpu.ops.depth import disparity_to_depth, disparity_to_pointcloud
+        from i3dr_stereo_tpu.pipeline.pairing import ApproximateTimeSync
 
         Q = jnp.asarray(rig.Q, dtype=np.float32)
         self.depth_max, self.depth_min = depth_max, depth_min
@@ -213,21 +221,32 @@ class DisparityToDepthNode(Node):
             d, v, Q, self.depth_min, self.depth_max))
         self._points = jax.jit(lambda d, v, g: disparity_to_pointcloud(
             d, v, Q, g, self.depth_min, self.depth_max))
-        self._rect = None
+        self._sync = ApproximateTimeSync(slop=slop)
         self.subscribe("left/image_rect", self._on_rect)
         self.subscribe("disparity", self._on_disp)
 
     def _on_rect(self, stamp, img):
-        self._rect = np.asarray(img, dtype=np.float32)
+        self._sync.push_right(stamp, np.asarray(img, dtype=np.float32))
+        self._drain()
 
     def _on_disp(self, stamp, msg):
+        # depth needs no rect; publish it immediately (reference parity:
+        # the depth image is a pure function of disparity + Q)
         d = np.asarray(msg["disparity"], dtype=np.float32)
         v = np.asarray(msg["valid"])
         depth, ok = self._depth(d, v)
         self.publish("depth", stamp, np.asarray(depth))
-        if self._rect is not None and self._rect.shape == d.shape:
-            pts = self._points(d, v, self._rect)
-            self.publish("points2", stamp, {k: np.asarray(x) for k, x in pts.items()})
+        self._sync.push_left(stamp, (d, v))
+        self._drain()
+
+    def _drain(self):
+        for disp_msg, rect in self._sync.pop_pairs():
+            d, v = disp_msg.data
+            if rect.data.shape != d.shape:
+                continue
+            pts = self._points(d, v, rect.data)
+            self.publish("points2", disp_msg.stamp,
+                         {k: np.asarray(x) for k, x in pts.items()})
 
 
 class CropByDisparityNode(Node):

@@ -38,7 +38,20 @@ from i3dr_stereo_tpu.ops.cost import texture_response
 from i3dr_stereo_tpu.ops.median import median3x3_masked
 from i3dr_stereo_tpu.ops.sgm import DIRECTIONS_4, DIRECTIONS_5, DIRECTIONS_8
 from i3dr_stereo_tpu.ops.sgm_dispatch import sgm_aggregate_auto as sgm_aggregate
-from i3dr_stereo_tpu.ops.wls import wls_fill
+from i3dr_stereo_tpu.ops.lr_check import right_cost_volume
+from i3dr_stereo_tpu.ops.wls import wls_fill, wls_fill_lr
+
+
+def _interp_backward_wls(disp, valid, S, cfg: MatcherConfig, left):
+    """The reference's full interp path: a right-anchored backward match
+    feeding LR-confidence-weighted WLS (matcherOpenCVBlock.cpp:22-33:
+    forwardMatch + backwardMatch -> DisparityWLSFilter lambda=8000
+    sigma=1.5). The backward match is derived from the already-aggregated
+    volume (createRightMatcher trick) — no second match pass."""
+    SR = right_cost_volume(S, cfg.min_disparity)
+    disp_r, ok_r = wta_disparity(SR, cfg.min_disparity, uniqueness_ratio=0.0,
+                                 subpixel=cfg.subpixel)
+    return wls_fill_lr(disp, valid, disp_r, ok_r, left)
 
 
 def _batched(img: jax.Array) -> tuple[jax.Array, bool]:
@@ -81,7 +94,9 @@ def _postprocess(disp, valid, S, cfg: MatcherConfig, left):
                                downsample=cfg.speckle_downsample)
     if cfg.median_filter:
         disp = median3x3_masked(disp, valid)
-    if cfg.interp or cfg.interpolate_missing:
+    if cfg.interp:
+        disp, valid = _interp_backward_wls(disp, valid, S, cfg, left)
+    elif cfg.interpolate_missing:
         disp, valid = wls_fill(disp, valid, left)
     return disp, valid
 
@@ -106,7 +121,9 @@ def bm_match(left, right, cfg: MatcherConfig) -> MatchResult:
         valid = speckle_filter(disp, valid, max_size=cfg.speckle_size,
                                max_diff=float(cfg.speckle_range),
                                downsample=cfg.speckle_downsample)
-    if cfg.interp or cfg.interpolate_missing:
+    if cfg.interp:
+        disp, valid = _interp_backward_wls(disp, valid, S, cfg, l)
+    elif cfg.interpolate_missing:
         disp, valid = wls_fill(disp, valid, l)
     return _unbatch(MatchResult(disparity=disp, valid=valid), batched)
 

@@ -426,3 +426,40 @@ def census_sgm_wta_t(clw: jax.Array, crw: jax.Array, D: int, *,
                            uniqueness_ratio=uniqueness_ratio,
                            interpret=interpret)
     return disp, C
+
+
+def right_disparity_from_C_t(C: jax.Array, bpm: int, W_real: int):
+    """True backmatching DSI: right-anchored WTA from the existing cost
+    volume, no second match (the engine's "Compute Backmatching",
+    ini/quick.param:121-122; cv's createRightMatcher trick).
+
+    C: (B, Wp, D, Hp) uint8 costs where C[b, x, k, y] pairs left column x
+    with right column x - (bpm + k) (255 = invalid sentinel). The
+    right-anchored volume is the x-shifted reindex
+    ``C_R[b, xr, k, y] = C[b, xr + bpm + k, k, y]``; WTA over k gives the
+    right disparity. Returns (d_r, valid_r), both (B, Hp, Wp), d_r in the
+    same (residual) units as the left disparity: absolute = value (bpm is
+    already folded in).
+    """
+    B, Wp, D, Hp = C.shape
+    best = jnp.full((B, Wp, Hp), 255, jnp.int32)
+    bestk = jnp.zeros((B, Wp, Hp), jnp.int32)
+    for k in range(D):
+        s = bpm + k
+        plane = C[:, :, k, :].astype(jnp.int32)
+        if s > 0:
+            plane = jnp.pad(plane[:, s:, :], ((0, 0), (0, s), (0, 0)),
+                            constant_values=255)
+        elif s < 0:
+            plane = jnp.pad(plane[:, :s, :], ((0, 0), (-s, 0), (0, 0)),
+                            constant_values=255)
+        better = plane < best
+        best = jnp.where(better, plane, best)
+        bestk = jnp.where(better, k, bestk)
+    # left column xr + bpm + k must be a real column
+    xs = jnp.arange(Wp, dtype=jnp.int32)[None, :, None]
+    in_img = (xs + bpm + bestk >= 0) & (xs + bpm + bestk < W_real)
+    valid_r = (best < 255) & in_img
+    d_r = (bpm + bestk).astype(jnp.float32)
+    return (jnp.transpose(d_r, (0, 2, 1)),
+            jnp.transpose(valid_r, (0, 2, 1)))

@@ -116,9 +116,14 @@ def _speckle_filter_impl(disp: jax.Array, valid: jax.Array, *,
         pH, pW = H2 * k - H, W2 * k - W
         d3p = jnp.pad(d3.astype(jnp.float32), ((0, 0), (0, pH), (0, pW)))
         v3p = jnp.pad(v3, ((0, 0), (0, pH), (0, pW)))
-        blk = jnp.where(v3p, d3p, jnp.inf).reshape(B, H2, k, W2, k)
-        dd = blk.min(axis=(2, 4))
-        vv = v3p.reshape(B, H2, k, W2, k).any(axis=(2, 4))
+        # two single-axis pair-reductions, NOT reshape(...,k,...,k) over
+        # axes (2,4): the joint strided reduction costs ~5 ms at
+        # 2048x2448 on v5e, the sequential form is ~free (bit-identical)
+        masked = jnp.where(v3p, d3p, jnp.inf)
+        dd = masked.reshape(B, H2 * k, W2, k).min(-1)
+        dd = dd.reshape(B, H2, k, W2).min(2)
+        vv = v3p.reshape(B, H2 * k, W2, k).any(-1)
+        vv = vv.reshape(B, H2, k, W2).any(2)
         keep_small = _speckle_filter_impl(dd, vv,
                                           max_size=max(max_size // (k * k), 1),
                                           max_diff=max_diff * k,

@@ -101,6 +101,34 @@ def _kernel(*refs, CORE, HALO, S, max_diff, tiled):
         conn.append(edge_ok & v & (rd > INVALID / 2)
                     & (jnp.abs(d - rd) <= max_diff))
 
+    # early exit: if every pixel in the window is valid and every in-
+    # window edge is connected, the whole window is ONE component of
+    # size WH*WW > S (tiled windows are >= (CORE)^2 >> 127 >= S), so
+    # every core pixel is kept — skip the 4 propagation loops entirely.
+    # Real disparity maps are mostly smooth, so most tiles take this
+    # path; verdicts are bit-identical (pure short-circuit).
+    smooth = jnp.all(v)
+    for m, (dy, dx) in zip(conn, _DIRS):
+        edge_ok = ((ri >= max(dy, 0)) & (ri < WH + min(dy, 0))
+                   & (ci >= max(dx, 0)) & (ci < WW + min(dx, 0)))
+        smooth = smooth & jnp.all(m | ~edge_ok)
+
+    @pl.when(smooth)
+    def _():
+        keep = v.astype(jnp.float32)
+        if tiled:
+            out_ref[0] = keep[HALO:HALO + CORE, HALO:HALO + CORE]
+        else:
+            out_ref[0] = keep
+
+    @pl.when(jnp.logical_not(smooth))
+    def _():
+        _kernel_slow(d, v, conn, ri, ci, out_ref,
+                     CORE=CORE, HALO=HALO, S=S, tiled=tiled)
+
+
+def _kernel_slow(d, v, conn, ri, ci, out_ref, *, CORE, HALO, S, tiled):
+    WH, WW = d.shape
     pid = ri * WW + ci
     label0 = jnp.where(v, pid, _INF)
 

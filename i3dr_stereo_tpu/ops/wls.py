@@ -115,3 +115,53 @@ def wls_fill(disp: jax.Array, valid: jax.Array, guide: jax.Array
     filled = wls_filter(disp, valid.astype(jnp.float32), guide)
     out = jnp.where(valid, disp, filled)
     return out, jnp.ones_like(valid)
+
+
+@partial(jax.jit, static_argnames=("lrc_thresh",))
+def lr_confidence(disp: jax.Array, valid: jax.Array, disp_right: jax.Array,
+                  valid_right: jax.Array, lrc_thresh: float = 1.5
+                  ) -> jax.Array:
+    """Left-right consistency confidence in [0, 1].
+
+    The reference's interp path feeds a forward AND a backward match into
+    cv::ximgproc's WLS filter, whose confidence is LRC-driven: full
+    confidence where |d_L(x) - d_R(x - d_L(x))| is small, decaying to 0
+    past the threshold (matcherOpenCVBlock.cpp:22-33 wires
+    setLRCthresh-controlled filtering; DisparityWLSFilter
+    computeConfidenceMap). disp_right is the right-anchored disparity
+    with the same (positive) sign convention as
+    :meth:`~i3dr_stereo_tpu.matchers.base.StereoMatcher.backward_match`.
+    """
+    B, H, W = disp.shape if disp.ndim == 3 else (1,) + disp.shape
+    d3 = disp if disp.ndim == 3 else disp[None]
+    v3 = valid if valid.ndim == 3 else valid[None]
+    dr3 = disp_right if disp_right.ndim == 3 else disp_right[None]
+    vr3 = valid_right if valid_right.ndim == 3 else valid_right[None]
+    d_int = jnp.round(d3).astype(jnp.int32)
+    xr = jnp.arange(W, dtype=jnp.int32)[None, None, :] - d_int
+    in_img = (xr >= 0) & (xr < W)
+    xr_c = jnp.clip(xr, 0, W - 1)
+    r_at = jnp.take_along_axis(dr3, xr_c, axis=2)
+    r_ok = jnp.take_along_axis(vr3, xr_c, axis=2)
+    err = jnp.abs(d3 - r_at)
+    # ramp: 1 inside the threshold, linear decay to 0 by 2x threshold
+    ramp = jnp.clip(2.0 - err / jnp.maximum(lrc_thresh, 1e-6), 0.0, 1.0)
+    conf = jnp.where(v3 & in_img & r_ok, ramp, 0.0)
+    return conf if disp.ndim == 3 else conf[0]
+
+
+def wls_fill_lr(disp: jax.Array, valid: jax.Array, disp_right: jax.Array,
+                valid_right: jax.Array, guide: jax.Array,
+                lam: float = 8000.0, sigma_color: float = 1.5,
+                lrc_thresh: float = 1.5) -> tuple[jax.Array, jax.Array]:
+    """Backward-match-driven WLS interpolation — the reference's full
+    interp path (matcherOpenCVBlock.cpp:22-33, matcherOpenCVSGBM.cpp:
+    22-33: forwardMatch + backwardMatch -> DisparityWLSFilter with
+    lambda=8000, sigma=1.5). Low-LR-confidence pixels are re-estimated by
+    edge-aware diffusion from confident neighbours; holes fill the same
+    way; everything is returned valid."""
+    conf = lr_confidence(disp, valid, disp_right, valid_right, lrc_thresh)
+    filtered = wls_filter(disp, conf, guide, lam=lam,
+                          sigma_color=sigma_color)
+    out = jnp.where(conf >= 1.0, disp, filtered)
+    return out, jnp.ones_like(valid)

@@ -158,6 +158,33 @@ def test_disparity_to_depth_node():
     assert got["pts"]["xyz"].shape == (80 * 96, 3)
 
 
+def test_disparity_to_depth_node_stamp_sync():
+    """Out-of-order rect delivery must pair clouds by stamp, not by
+    last-received rect (reference: 3-way ApproximateTime sync,
+    disparity_to_depth.cpp:55-57)."""
+    g = Graph()
+    rig = _rig()
+    DisparityToDepthNode(g, rig, depth_max=100.0, slop=0.05)
+    clouds = []
+    g.subscribe("/stereo/points2", lambda s, d: clouds.append((s, d)))
+    H, W = 80, 96
+    v = np.ones((H, W), bool)
+    # rect for frames arrive first: t=0 black, t=1 white
+    g.publish("/stereo/left/image_rect", 0.0, np.zeros((H, W), np.float32))
+    g.publish("/stereo/left/image_rect", 1.0, np.full((H, W), 255.0, np.float32))
+    # disparity frames arrive late but must pair with their own stamps
+    g.publish("/stereo/disparity", 0.0,
+              {"disparity": np.full((H, W), 10.0, np.float32), "valid": v})
+    g.publish("/stereo/disparity", 1.0,
+              {"disparity": np.full((H, W), 10.0, np.float32), "valid": v})
+    assert len(clouds) == 2
+    (s0, c0), (s1, c1) = clouds
+    assert (s0, s1) == (0.0, 1.0)
+    # cloud colors come from the SAME-stamp rect, not the latest one
+    assert c0["rgb"].max() == 0
+    assert c1["rgb"].min() > 0
+
+
 def test_crop_node_is_lazy():
     g = Graph()
     node = CropByDisparityNode(g, namespace="/stereo")

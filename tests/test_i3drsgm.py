@@ -114,3 +114,43 @@ def test_occlusion_detection_on_step_scene():
     f = np.asarray(filled)
     assert abs(f[0, 5, 25] - 5.0) < 1e-5  # background fill
     assert np.asarray(newvalid)[0, 5, 25]
+
+
+# ------------------------------------------------- true backmatching --------
+
+def test_right_disparity_from_C_t_semantics():
+    """WTA over the x-shifted reindex C_R[xr, k] = C[xr + bpm + k, k]
+    (the createRightMatcher trick on the transposed volume)."""
+    from i3dr_stereo_tpu.ops.sgm_fused_t import right_disparity_from_C_t
+
+    B, Wp, D, Hp = 1, 16, 8, 8
+    bpm = -4
+    C = np.full((B, Wp, D, Hp), 200, np.uint8)
+    # right pixel xr=5 best-matched by left x=7 => disparity 2 = bpm + k
+    # with k = 6: C[7, 6] must be the min over {C[5+bpm+k, k]}
+    C[0, 7, 6, :] = 3
+    d_r, v_r = right_disparity_from_C_t(jnp.asarray(C), bpm, W_real=16)
+    d_r = np.asarray(d_r)  # (B, Hp, Wp)
+    v_r = np.asarray(v_r)
+    assert v_r[0, 2, 5]
+    assert d_r[0, 2, 5] == 2.0  # bpm + 6
+    # a column whose every candidate is the 255 sentinel is invalid
+    C2 = np.full((B, Wp, D, Hp), 255, np.uint8)
+    _, v2 = right_disparity_from_C_t(jnp.asarray(C2), bpm, W_real=16)
+    assert not np.asarray(v2).any()
+
+
+def test_true_backmatch_kills_occlusions():
+    """The true right-anchored check must invalidate most GT-occluded
+    pixels (same-map roundtrips can validate an occluded pixel whose
+    forward map happens to be locally consistent)."""
+    sc = layered_scene(96, 160, max_disp=24, seed=7)
+    cfg = ALGORITHM_DEFAULTS[Algorithm.I3DRSGM].replace(
+        disparity_range=32, speckle_size=0, backmatch_distance=1.5)
+    res = pyramid_sgm_match(sc.left, sc.right, cfg)
+    v = np.asarray(res.valid)
+    occluded = ~sc.valid
+    if occluded.sum() > 50:
+        # most occluded pixels rejected, most visible pixels kept
+        assert v[occluded].mean() < 0.45
+    assert v[sc.valid].mean() > 0.75

@@ -129,3 +129,38 @@ def test_min_disparity_offset_search():
     err = np.abs(d - sc.disparity)[v]
     assert np.median(err) < 0.5
     assert (d[np.asarray(res.valid)] >= 8).all()
+
+
+def test_interp_backward_wls_path():
+    """interp=True runs the reference's full interp chain: backward match
+    derived from the aggregated volume + LR-confidence WLS filtering
+    (matcherOpenCVBlock.cpp:22-33). Everything comes back valid, holes
+    are filled from confident neighbours, confident pixels stay put.
+    (cv2.ximgproc is absent from this environment, so the gate is
+    behavioral rather than an oracle diff.)"""
+    sc = layered_scene(96, 128, max_disp=20, seed=3)
+    cfg = ALGORITHM_DEFAULTS[Algorithm.SGBM].replace(disparity_range=32,
+                                                     speckle_size=50)
+    base = create_matcher(cfg).match(sc.left, sc.right)
+    res = create_matcher(cfg.replace(interp=True)).match(sc.left, sc.right)
+    d = np.asarray(res.disparity)
+    v = np.asarray(res.valid)
+    assert v.all()  # interp marks everything valid (cfg description)
+    # global accuracy on ALL pixels (holes included) stays subpixel-good
+    err_all = np.abs(d - sc.disparity)[sc.valid]
+    assert np.median(err_all) < 0.5
+    # pixels that were confidently matched before are anchored
+    vb = np.asarray(base.valid) & sc.valid
+    same = np.abs(d - np.asarray(base.disparity))[vb]
+    assert np.median(same) < 0.1
+
+
+def test_interp_bm_backend():
+    sc = layered_scene(96, 128, max_disp=20, seed=4)
+    cfg = ALGORITHM_DEFAULTS[Algorithm.BM].replace(disparity_range=32,
+                                                   speckle_size=50,
+                                                   interp=True)
+    res = create_matcher(cfg).match(sc.left, sc.right)
+    assert np.asarray(res.valid).all()
+    err_all = np.abs(np.asarray(res.disparity) - sc.disparity)[sc.valid]
+    assert np.median(err_all) < 0.75
