@@ -52,6 +52,18 @@ def _synthetic_pair(h, w, max_disp=128, seed=0):
     return left, np.roll(left, -max_disp // 4, axis=1)
 
 
+def _layered_pair(h, w, max_disp=200, seed=1):
+    """Depth-varying scene with occlusions + discontinuities — the honest
+    flagship input (a flat constant-shift pair is the pyramid predictor's
+    best case; this one exercises prediction clamping, the true
+    backmatch and the speckle slow path at every depth edge)."""
+    from i3dr_stereo_tpu.io.synthetic import layered_scene
+
+    sc = layered_scene(h, w, max_disp=max_disp, background_disp=16,
+                       layers=6, seed=seed)
+    return sc.left, sc.right
+
+
 def _time_fn(fn, args, iters=5, warmup=2):
     """Honest device timing on an async remote runtime.
 
@@ -110,31 +122,46 @@ def _time_fn(fn, args, iters=5, warmup=2):
     return max((t2 - t1) / K, 1e-9)
 
 
-def bench_flagship():
-    """2448x2048, effective 256+ disparity coverage via 6-level pyramid."""
-    import jax
-
+def _flagship_cfg():
     from i3dr_stereo_tpu.config.params import ALGORITHM_DEFAULTS, Algorithm
 
-    H, W = 2048, 2448
-    cfg = ALGORITHM_DEFAULTS[Algorithm.I3DRSGM].replace(
+    return ALGORITHM_DEFAULTS[Algorithm.I3DRSGM].replace(
         disparity_range=256, max_pyramid_level=4,
         speckle_size=100, speckle_downsample=2, median_filter=True)
+
+
+def bench_flagship(pair=_layered_pair,
+                   metric="sgm_disparity_fps_2448x2048_256d_per_chip"):
+    """2448x2048, effective 256+ disparity coverage via the pyramid
+    schedule, measured on a depth-varying layered scene (occlusions +
+    discontinuities), NOT a constant-shift pair."""
+    import jax
+
+    H, W = 2048, 2448
+    cfg = _flagship_cfg()
     from i3dr_stereo_tpu.matchers.registry import MATCHER_REGISTRY
 
     impl = MATCHER_REGISTRY[cfg.algorithm]
     fn = jax.jit(lambda l, r: impl(l, r, cfg).disparity)
-    l, r = _synthetic_pair(H, W)
+    l, r = pair(H, W)
     l = jax.device_put(l[None])
     r = jax.device_put(r[None])
     dt = _time_fn(fn, (l, r))
     fps = 1.0 / dt
     return {
-        "metric": "sgm_disparity_fps_2448x2048_256d_per_chip",
+        "metric": metric,
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
     }
+
+
+def bench_flagship_flat():
+    """The old constant-shift input, kept for round-over-round
+    comparability (reads slightly faster: every speckle tile takes the
+    smooth-tile early exit)."""
+    return bench_flagship(pair=_synthetic_pair,
+                          metric="sgm_disparity_fps_2448x2048_256d_flat")
 
 
 def bench_sgbm_1280():
@@ -232,68 +259,89 @@ def bench_sgm_direct_2448():
 
 
 def bench_stages():
-    """Stage-level timing of the ACTUAL flagship components at full
-    resolution (diagnosis aid; prints one line per stage)."""
+    """Stage-level timing of the ACTUAL flagship components (the
+    fused_t path matchers/pyramid.py runs on TPU) at level-0 shapes on a
+    depth-varying scene. Prints one line per stage; the per-stage sum
+    plus the 3 coarser levels (~1/4 area each) accounts for the flagship
+    frame time."""
     import jax
     import jax.numpy as jnp
 
+    from i3dr_stereo_tpu.ops.block_gather import block_anchors, block_shift_gather
     from i3dr_stereo_tpu.ops.census import census_transform
-    from i3dr_stereo_tpu.ops.fused_cost_sgm import fused_census_sgm
-    from i3dr_stereo_tpu.ops.median import median3x3
+    from i3dr_stereo_tpu.ops.median import median3x3, median3x3_masked
+    from i3dr_stereo_tpu.ops.sgm_fused_t import (fused_census_fwd_t,
+                                                 hsweep_rev_sum_t,
+                                                 right_disparity_from_C_t,
+                                                 vsweep_down_t,
+                                                 vsweep_up_wta_t)
     from i3dr_stereo_tpu.ops.speckle import speckle_filter
-    from i3dr_stereo_tpu.ops.wta import wta_disparity
 
-    H, W, K = 2048, 2448, 32
-    l, r = _synthetic_pair(H, W)
+    H, W, D = 2048, 2448, 32
+    Hp, Wp = 2048, 2560
+    l, r = _layered_pair(H, W)
     L = jax.device_put(l[None])
     R = jax.device_put(r[None])
     out = {}
 
-    f_census = jax.jit(lambda x: census_transform(x, 9, 9))
-    out["census_9x9"] = _time_fn(f_census, (L,), iters=3)
-    CL = f_census(L)
-    CR = f_census(R)
+    pad2 = ((0, 0), (0, Hp - H), (0, Wp - W))
+    Lp = jnp.pad(L, pad2, mode="edge")
+    Rp = jnp.pad(R, pad2, mode="edge")
 
-    # the fused cost+SGM at level 0 (the heart of the flagship)
-    def fsgm(x):
-        cl = census_transform(x, 9, 9)
-        S, C = fused_census_sgm(cl, CR, K, base=-K // 2, p1=8.0, p2=64.0,
-                                directions=((0, 1), (0, -1), (1, 0), (-1, 0)),
-                                out_dtype=jnp.int16)
-        return S
-    out["fused_sgm4_K32_L0"] = _time_fn(jax.jit(fsgm), (L,), iters=3)
+    f_cen = jax.jit(lambda x: jnp.moveaxis(
+        census_transform(jnp.transpose(x, (0, 2, 1)), 9, 9), -1, 0))
+    out["censusT_9x9"] = _time_fn(f_cen, (Lp,), iters=3)
+    clT = f_cen(Lp)
+    crT = f_cen(Rp)
 
-    # warp gather (per-pixel image gather)
-    pred = jnp.zeros((1, H, W), jnp.int32) + 20
+    pred = jnp.full((1, Hp, Wp), 20, jnp.int32)
+
     def warp(x):
-        xs = jnp.arange(W, dtype=jnp.int32)[None, None, :]
-        src = jnp.clip(xs - pred, 0, W - 1)
-        return jnp.take_along_axis(x, src, axis=2)
-    out["warp_gather"] = _time_fn(jax.jit(warp), (R,), iters=3)
+        qq = block_anchors(pred)
+        q_up = jnp.repeat(jnp.repeat(qq, 8, 1), 128, 2)
+        pe = jnp.clip(pred, q_up - D // 2, q_up + D // 2)
+        return block_shift_gather(x, pe, qq, D // 2)
 
-    # round-trip backmatch gather
-    disp0 = jnp.full((1, H, W), 20.0)
-    def roundtrip(d):
-        d_int = jnp.round(d).astype(jnp.int32)
-        xr = jnp.arange(W, dtype=jnp.int32)[None, None, :] - d_int
-        xr_c = jnp.clip(xr, 0, W - 1)
-        return jnp.take_along_axis(d, xr_c, axis=2)
-    out["backmatch_gather"] = _time_fn(jax.jit(roundtrip), (disp0,), iters=3)
+    out["block_shift_warp"] = _time_fn(jax.jit(warp), (Rp,), iters=3)
 
-    S0 = jax.jit(fsgm)(L)
-    f_wta = jax.jit(lambda s: wta_disparity(s, 0, uniqueness_ratio=0.0,
-                                            subpixel=True)[0])
-    out["wta_K32"] = _time_fn(f_wta, (S0.astype(jnp.float32),), iters=3)
+    pf = (8.0, 64.0)
+    f_fwd = jax.jit(lambda a, b: fused_census_fwd_t(
+        a, b, D, pf[0], pf[1], bpm=-D // 2, W_real=W, H_real=H))
+    out["fwd_t"] = _time_fn(lambda a, b: f_fwd(a, b)[0], (clT, crT), iters=3)
+    C, S_fwd = f_fwd(clT, crT)
 
-    disp = f_wta(S0.astype(jnp.float32))
+    f_rev = jax.jit(lambda c, s: hsweep_rev_sum_t(c, s, pf[0], pf[1]))
+    out["rev_t"] = _time_fn(f_rev, (C, S_fwd), iters=3)
+    S_h = f_rev(C, S_fwd)
+
+    f_tc = jax.jit(lambda c: jnp.transpose(c, (0, 3, 2, 1)))
+    out["transpose_C_u8"] = _time_fn(f_tc, (C,), iters=3)
+    out["transpose_Sh_i16"] = _time_fn(f_tc, (S_h,), iters=3)
+    C_T = f_tc(C)
+    S_hT = f_tc(S_h)
+
+    f_vd = jax.jit(lambda c: vsweep_down_t(c, (0,), ((8.0, 64.0),)))
+    out["vdown_t_1dir"] = _time_fn(f_vd, (C_T,), iters=3)
+    S_down = f_vd(C_T)
+
+    f_vu = jax.jit(lambda c, sh, sd: vsweep_up_wta_t(
+        c, sh, sd, (0,), ((8.0, 64.0),), subpixel=True))
+    out["vup_wta_t_1dir"] = _time_fn(f_vu, (C_T, S_hT, S_down), iters=3)
+    disp = f_vu(C_T, S_hT, S_down)[:, :H, :W]
+
+    f_bm = jax.jit(lambda c: right_disparity_from_C_t(c, -D // 2, W)[0])
+    out["true_backmatch_wta"] = _time_fn(f_bm, (C,), iters=3)
+
+    valid = disp > -1e8
+    f_spk = jax.jit(lambda d: speckle_filter(d, valid, max_size=100,
+                                             max_diff=0.5, downsample=2,
+                                             backend="pallas"))
+    out["speckle_ds2"] = _time_fn(f_spk, (disp,), iters=2)
+
     out["median3x3"] = _time_fn(jax.jit(median3x3), (disp,), iters=3)
+    f_mm = jax.jit(lambda d: median3x3_masked(d, valid))
+    out["median3x3_masked"] = _time_fn(f_mm, (disp,), iters=3)
 
-    f_spk2 = jax.jit(lambda d: speckle_filter(d, jnp.ones(d.shape, bool),
-                                              max_size=100, max_diff=0.5,
-                                              downsample=2))
-    out["speckle_ds2"] = _time_fn(f_spk2, (disp,), iters=2)
-
-    # pyramid overhead: downsample chain + upsample predictions
     def pyr_overhead(x):
         from i3dr_stereo_tpu.matchers.pyramid import _downsample2, _upsample2_disp
         a = _downsample2(x)
@@ -308,11 +356,14 @@ def bench_stages():
     for k, v in out.items():
         print(json.dumps({"metric": f"stage_{k}_ms", "value": round(v * 1e3, 3),
                           "unit": "ms", "vs_baseline": None}), flush=True)
-    return {"metric": "stages_done", "value": 1, "unit": "", "vs_baseline": None}
+    return {"metric": "stages_sum_L0_ms",
+            "value": round(sum(out.values()) * 1e3, 3), "unit": "ms",
+            "vs_baseline": None}
 
 
 BENCHES = {
     "flagship": bench_flagship,
+    "flagship_flat": bench_flagship_flat,
     "sgbm_1280": bench_sgbm_1280,
     "bm_640": bench_bm_640,
     "pipeline_batch": bench_pipeline_batch,

@@ -70,5 +70,5 @@ def measure_scaling(step_factory: Callable[[Mesh], Callable],
             base = (n, thr)
         eff = thr / (base[1] * n / base[0])
         results[n] = {"devices": n, "frames_per_s": thr,
-                      "efficiency": min(eff, 1.5)}
+                      "efficiency": eff}
     return results

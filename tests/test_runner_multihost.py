@@ -1,3 +1,4 @@
+import os
 import numpy as np
 import pytest
 
@@ -65,3 +66,40 @@ def test_measure_scaling_runs(cpu_devices):
     assert set(res) == {1, 2, 4}
     for n, row in res.items():
         assert row["frames_per_s"] > 0
+
+
+def test_two_process_global_frame_batch(tmp_path):
+    """Launch 2 real processes through jax.distributed on CPU and drive
+    the make_array_from_process_local_data branch of global_frame_batch
+    (the path a single-process test can never reach)."""
+    import socket
+    import subprocess
+    import sys
+
+    # pick a free coordinator port
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    out = tmp_path / "mh.json"
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [subprocess.Popen([sys.executable, worker, str(i), str(port),
+                               str(out)], env=env,
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+             for i in range(2)]
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err.decode()[-2000:]
+    import json
+
+    res = json.loads(out.read_text())
+    assert res["ok"] and res["processes"] == 2 and res["global_devices"] == 8
