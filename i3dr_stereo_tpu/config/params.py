@@ -60,8 +60,12 @@ class MatcherConfig:
     downsample_scale: float = 1.0     # abstractStereoMatcher.cpp:9-30 cubic resize
 
     # --- prefilter (BM/SGBM) ------------------------------------------------
-    prefilter_size: int = 9           # cfg "prefilter_size"
-    prefilter_cap: int = 31           # cfg "prefilter_cap" (x-Sobel clip bound)
+    prefilter_size: int = 9           # cfg "prefilter_size" (normalized-response window)
+    prefilter_cap: int = 31           # cfg "prefilter_cap" (clip bound)
+    # cv::StereoBM prefilter mode: "xsobel" (default) or
+    # "normalized_response" (consumes prefilter_size;
+    # matcherOpenCVBlock.cpp:86-108 setter surface)
+    prefilter_type: str = "xsobel"
 
     # --- smoothness (SGM family) --------------------------------------------
     p1: float = 200.0                 # cfg "p1"
@@ -106,6 +110,10 @@ class MatcherConfig:
         """Apply the reference's constraint fixups
         (generate_disparity.cpp:759-775): odd window, range multiple of 16,
         I3DRSGM census window <= 17 and odd."""
+        if self.prefilter_type not in ("xsobel", "normalized_response"):
+            raise ValueError(
+                f"prefilter_type {self.prefilter_type!r}: expected 'xsobel' "
+                "or 'normalized_response' (cv::StereoBM's two modes)")
         window = int(self.window_size)
         if window % 2 == 0:
             window += 1
@@ -192,6 +200,10 @@ ALGORITHM_DEFAULTS = {
         num_directions=4, pyramid=True, max_pyramid_level=6, subpixel=True,
         backmatch_distance=1.5, speckle_range=0.5, speckle_size=100,
         median_filter=True,
+        # the Phobos engine has no WTA margin filter (quick.param has no
+        # uniqueness key) — 0 disables it; setting it in MatcherConfig
+        # now genuinely applies it at every pyramid level
+        uniqueness_ratio=0.0,
     ),
     Algorithm.BM_GPU: _bm(
         algorithm=Algorithm.BM_GPU, cost=CostFunction.SAD, window_size=9,

@@ -99,6 +99,10 @@ class PyramidLevelConfig:
     interpolate_occlusions: bool = True
     occlusion_detection: bool = False
     prediction_shift: float = -5.0   # "Top Prediction Shift" (coarsest level only)
+    # not an engine INI key: the cv-style WTA margin filter carried from
+    # MatcherConfig.uniqueness_ratio so the flagship path applies it
+    # instead of silently dropping it (cfg/i3DR_Disparity.cfg:27)
+    uniqueness_ratio: float = 0.0
 
     @staticmethod
     def from_section(level: int, sec: Mapping[str, str], *, subpix_pass: bool,

@@ -126,6 +126,7 @@ def profile_from_config(cfg: MatcherConfig) -> SGMProfile:
             interpolate_occlusions=cfg.occlusion_interp,
             occlusion_detection=cfg.occlusion_detection,
             prediction_shift=0.0,
+            uniqueness_ratio=float(cfg.uniqueness_ratio),
         ))
     return SGMProfile(name="from_config", levels=tuple(levels))
 
@@ -209,6 +210,7 @@ def pyramid_sgm_match(left, right, cfg: MatcherConfig,
                 4 if len(dirs) == 4 else 8,
                 (p.census_h, p.census_w),
                 subpixel=(p.level == 0 and p.subpixel),
+                uniqueness_ratio=p.uniqueness_ratio,
                 want_backmatch=p.backmatch,
                 interpret=backend.endswith("interpret"))
             cur_level = p.level
@@ -290,7 +292,7 @@ def pyramid_sgm_match(left, right, cfg: MatcherConfig,
             S = sgm_aggregate(C, directions=dirs, per_direction_penalties=pens,
                               out_dtype=sum_dtype)
         finest = p.level == 0
-        dk, ok = wta_disparity(S, 0, uniqueness_ratio=0.0,
+        dk, ok = wta_disparity(S, 0, uniqueness_ratio=p.uniqueness_ratio,
                                subpixel=(finest and p.subpixel))
         disp = dk + offset.astype(jnp.float32)
         cur_level = p.level
@@ -347,6 +349,7 @@ def _ceil_to(v: int, m: int) -> int:
 def _match_level_fused_t(ll, rr, pred_int, base_val: int, K: int, pens,
                          num_directions: int, census_hw, *,
                          subpixel: bool, interpret: bool,
+                         uniqueness_ratio: float = 0.0,
                          want_backmatch: bool = False):
     """One pyramid level through the dense transposed kernels
     (ops/sgm_fused_t.py): block-shift warp, census on the transposed
@@ -389,7 +392,9 @@ def _match_level_fused_t(ll, rr, pred_int, base_val: int, K: int, pens,
                        -1, 0)
     disp_t, _C = census_sgm_wta_t(clT, crT, K8, bpm=bpm, W_real=Wh, H_real=Hh,
                                   pens=pens, directions=num_directions,
-                                  subpixel=subpixel, interpret=interpret)
+                                  subpixel=subpixel,
+                                  uniqueness_ratio=uniqueness_ratio,
+                                  interpret=interpret)
     disp_res = disp_t[:, :Hh, :Wh]
     valid = disp_res > -1.0e8
     disp = jnp.where(valid, disp_res, float(K8 // 2)) + offset

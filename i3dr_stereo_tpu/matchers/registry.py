@@ -107,8 +107,16 @@ def bm_match(left, right, cfg: MatcherConfig) -> MatchResult:
     texture + uniqueness checks, speckle filter, x16-grade subpixel."""
     l, batched = _batched(left)
     r = right if right.ndim == 3 else right[None]
-    pref_l = xsobel_prefilter(l, cfg.prefilter_cap)
-    pref_r = xsobel_prefilter(r, cfg.prefilter_cap)
+    if cfg.prefilter_type == "normalized_response":
+        from i3dr_stereo_tpu.ops.cost import normalized_response_prefilter
+
+        pref_l = normalized_response_prefilter(l, cfg.prefilter_size,
+                                               cfg.prefilter_cap)
+        pref_r = normalized_response_prefilter(r, cfg.prefilter_size,
+                                               cfg.prefilter_cap)
+    else:
+        pref_l = xsobel_prefilter(l, cfg.prefilter_cap)
+        pref_r = xsobel_prefilter(r, cfg.prefilter_cap)
     C, valid_cv = sad_cost_volume(pref_l, pref_r, cfg.min_disparity, cfg.disparity_range)
     S = box_aggregate(C, valid_cv, cfg.window_size)
     disp, valid = wta_disparity(S, cfg.min_disparity,

@@ -44,6 +44,49 @@ def xsobel_prefilter(image: jax.Array, cap: int = 31) -> jax.Array:
     return out if batched else out[0]
 
 
+@partial(jax.jit, static_argnames=("winsize", "cap"))
+def normalized_response_prefilter(image: jax.Array, winsize: int = 9,
+                                  cap: int = 31) -> jax.Array:
+    """cv::StereoBM's PREFILTER_NORMALIZED_RESPONSE (this is what
+    consumes ``prefilter_size``; the setter surface is
+    matcherOpenCVBlock.cpp:86-108).
+
+    Float re-derivation of OpenCV's integer prefilterNorm (stereobm.cpp):
+    a weighted 4+neighbours cross response minus the winsize x winsize
+    replicate-border window sum, with OpenCV's integer-derived constants
+    and the >>10 arithmetic shift, clamped into [0, 2*cap] around cap:
+
+        scale_g = winsize^2 // 8;  scale_s = (1024 + scale_g) // (2*scale_g)
+        val = floor((cross8(I)*scale_g*scale_s - boxsum(I)*scale_s) / 1024)
+        out = clip(val, -cap, cap) + cap
+
+    where cross8 = 4*I + up + down + left + right.
+    """
+    batched = image.ndim == 3
+    img = (image if batched else image[None]).astype(jnp.float32)
+    B, H, W = img.shape
+    wsz2 = winsize // 2
+    scale_g = winsize * winsize // 8
+    scale_s = (1024 + scale_g) // (scale_g * 2)
+
+    p1 = jnp.pad(img, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    cross = (4.0 * img + p1[:, 1:-1, :-2] + p1[:, 1:-1, 2:]
+             + p1[:, :-2, 1:-1] + p1[:, 2:, 1:-1])
+
+    # separable sliding-window sum with replicated borders (cumsum diff)
+    pw = jnp.pad(img, ((0, 0), (wsz2, wsz2), (wsz2, wsz2)), mode="edge")
+    cs = jnp.cumsum(pw, axis=1)
+    cs = jnp.concatenate([jnp.zeros_like(cs[:, :1]), cs], axis=1)
+    rows = cs[:, winsize:, :] - cs[:, :-winsize, :]          # (B, H, W+2*wsz2)
+    cs2 = jnp.cumsum(rows, axis=2)
+    cs2 = jnp.concatenate([jnp.zeros_like(cs2[:, :, :1]), cs2], axis=2)
+    boxsum = cs2[:, :, winsize:] - cs2[:, :, :-winsize]      # (B, H, W)
+
+    val = jnp.floor((cross * (scale_g * scale_s) - boxsum * scale_s) / 1024.0)
+    out = jnp.clip(val, -float(cap), float(cap)) + cap
+    return out if batched else out[0]
+
+
 def _half_sample_bounds(img: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-pixel min/max over {I, (I+I[x-1])/2, (I+I[x+1])/2} (BT)."""
     left = jnp.concatenate([img[..., :1], img[..., :-1]], axis=-1)

@@ -66,7 +66,7 @@ def _roll2(x, dy, dx):
     return x
 
 
-def _kernel(*refs, CORE, HALO, S, max_diff, tiled):
+def _kernel(*refs, CORE, HALO, S, max_diff, tiled, H_real, W_real):
     if tiled:
         blocks = refs[:9]
         out_ref = refs[9]
@@ -101,17 +101,35 @@ def _kernel(*refs, CORE, HALO, S, max_diff, tiled):
         conn.append(edge_ok & v & (rd > INVALID / 2)
                     & (jnp.abs(d - rd) <= max_diff))
 
-    # early exit: if every pixel in the window is valid and every in-
-    # window edge is connected, the whole window is ONE component of
-    # size WH*WW > S (tiled windows are >= (CORE)^2 >> 127 >= S), so
-    # every core pixel is kept — skip the 4 propagation loops entirely.
-    # Real disparity maps are mostly smooth, so most tiles take this
-    # path; verdicts are bit-identical (pure short-circuit).
-    smooth = jnp.all(v)
-    for m, (dy, dx) in zip(conn, _DIRS):
-        edge_ok = ((ri >= max(dy, 0)) & (ri < WH + min(dy, 0))
-                   & (ci >= max(dx, 0)) & (ci < WW + min(dx, 0)))
-        smooth = smooth & jnp.all(m | ~edge_ok)
+    # early exit: if every REAL pixel in the window is valid and every
+    # edge between real pixels is connected, all real window pixels form
+    # ONE component of size >= (HALO+1)^2 > S (HALO >= S+1), so every
+    # core pixel is kept — skip the 4 propagation loops entirely.
+    # Out-of-image padding (INVALID by construction) is excluded from the
+    # test, so image-border tiles also take the fast path on smooth
+    # scenes. Verdicts are bit-identical (pure short-circuit): padded
+    # pixels are invalid and never kept either way.
+    if tiled:
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        gy = i * CORE + ri - HALO
+        gx = j * CORE + ci - HALO
+        real_i = ((gy >= 0) & (gy < H_real) & (gx >= 0)
+                  & (gx < W_real)).astype(jnp.int32)
+        # a window's real part is >= (HALO+1)^2 > S (HALO >= S+1)
+        big_enough = True
+    else:
+        real_i = ((ri < H_real) & (ci < W_real)).astype(jnp.int32)
+        big_enough = H_real * W_real > S  # whole-frame component size
+    real = real_i == 1
+    smooth = jnp.all(v | ~real) if big_enough else jnp.bool_(False)
+    if big_enough:
+        for m, (dy, dx) in zip(conn, _DIRS):
+            edge_ok = ((ri >= max(dy, 0)) & (ri < WH + min(dy, 0))
+                       & (ci >= max(dx, 0)) & (ci < WW + min(dx, 0)))
+            # int32 roll: Mosaic has no rotate for 1-bit vectors
+            both_real = real & (_roll2(real_i, dy, dx) == 1) & edge_ok
+            smooth = smooth & jnp.all(m | ~both_real)
 
     @pl.when(smooth)
     def _():
@@ -233,7 +251,8 @@ def speckle_filter_pallas(disp: jax.Array, valid: jax.Array, *,
         dp = jnp.pad(d, ((0, 0), (0, Hp - H), (0, Wp - W)),
                      constant_values=INVALID)
         kern = functools.partial(_kernel, CORE=0, HALO=0, S=S,
-                                 max_diff=float(max_diff), tiled=False)
+                                 max_diff=float(max_diff), tiled=False,
+                                 H_real=H, W_real=W)
         keep = pl.pallas_call(
             kern,
             grid=(B,),
@@ -248,7 +267,11 @@ def speckle_filter_pallas(disp: jax.Array, valid: jax.Array, *,
         )(dp)
         return valid & (keep[:, :H, :W] > 0.5)
 
-    CORE = 256
+    # CORE trades halo-overlap waste (smaller core => more redundant halo
+    # work on contested tiles) against early-exit granularity; 512
+    # measured best on worst-case (fully contested) frames at the
+    # flagship's ds2 size, equal on layered scenes
+    CORE = 512 if H >= 512 and W >= 512 else 256
     HALO = _ceil_to(S + 1, 8)
     nH, nW = pl.cdiv(H, CORE), pl.cdiv(W, CORE)
     # one CORE of padding on every side keeps all 3x3 neighbour block
@@ -263,7 +286,8 @@ def speckle_filter_pallas(disp: jax.Array, valid: jax.Array, *,
                             memory_space=pltpu.VMEM)
 
     kern = functools.partial(_kernel, CORE=CORE, HALO=HALO, S=S,
-                             max_diff=float(max_diff), tiled=True)
+                             max_diff=float(max_diff), tiled=True,
+                             H_real=H, W_real=W)
     keep = pl.pallas_call(
         kern,
         grid=(B, nH, nW),

@@ -61,10 +61,12 @@ class StereoViewer(Node):
         self._state = {}
         self._interactive = interactive and bool(os.environ.get("DISPLAY"))
         self._fig = None
+        self.cloud_elev, self.cloud_azim = 15.0, -35.0
         self.subscribe("left/image_raw", lambda s, d: self._set("raw", d))
         self.subscribe("left/image_rect", lambda s, d: self._set("rect", d))
         self.subscribe("disparity", lambda s, d: self._set("disp", d))
         self.subscribe("depth", lambda s, d: self._set("depth", d))
+        self.subscribe("points2", lambda s, d: self._set("points", d))
 
     def _set(self, key, data):
         self._state[key] = data
@@ -85,7 +87,29 @@ class StereoViewer(Node):
                           "disparity"))
         if "depth" in self._state:
             panes.append((depth_to_color(self._state["depth"]), "depth"))
+        if "points" in self._state:
+            # the reference GUI's PCL/VTK cloud pane (StereoGUI.cpp:68-89)
+            from i3dr_stereo_tpu.ops.depth import pointcloud_to_numpy
+            from i3dr_stereo_tpu.viz.cloud import render_cloud
+
+            xyz, rgb = pointcloud_to_numpy(self._state["points"])
+            ref = panes[0][0] if panes else None
+            h = ref.shape[0] if ref is not None else 480
+            w = ref.shape[1] if ref is not None else 640
+            panes.append((render_cloud(xyz, rgb, width=w, height=h,
+                                       elev=self.cloud_elev,
+                                       azim=self.cloud_azim), "points2"))
         return montage(panes) if panes else None
+
+    def set_viewpoint(self, name_or_angles) -> None:
+        """Select a canned rviz-scene-style viewpoint (viz.cloud.VIEWPOINTS
+        name) or explicit (elev_deg, azim_deg)."""
+        from i3dr_stereo_tpu.viz.cloud import VIEWPOINTS
+
+        if isinstance(name_or_angles, str):
+            self.cloud_elev, self.cloud_azim = VIEWPOINTS[name_or_angles]
+        else:
+            self.cloud_elev, self.cloud_azim = name_or_angles
 
     def save(self, path: str) -> Optional[str]:
         img = self.render()

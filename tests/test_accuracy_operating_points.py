@@ -1,0 +1,19 @@
+"""Accuracy gate at the reference's 1280x1024 operating point
+(BASELINE config 2: SGBM, 128 disparities, subpixel — the scale of
+launch/stereo_matcher.launch:37-38) run in CI on CPU. The 2448x2048
+pyramid case runs on TPU via accuracy_bench.py (ACCURACY_r03.json);
+this keeps the mid-scale gate continuously enforced (~2 min)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_sgbm_1280x1024_128d_subpix_gate():
+    from accuracy_bench import sgbm_1280
+
+    row = sgbm_1280()
+    assert row["density"] > 0.7, row
+    assert row["median_px_vs_cv_sgbm"] < 0.25, row
+    assert row["median_px_vs_gt"] < 0.25, row

@@ -145,3 +145,58 @@ def test_ply_ascii_binary_roundtrip(tmp_path):
         x2, r2 = load_ply(p)
         np.testing.assert_allclose(x2, xyz, atol=1e-5)
         np.testing.assert_array_equal(r2, rgb)
+
+
+# ---------------------------------------------------------------- cloud -----
+
+def test_render_cloud_projects_points():
+    from i3dr_stereo_tpu.viz.cloud import VIEWPOINTS, render_cloud, render_cloud_views
+
+    rng = np.random.default_rng(0)
+    # a flat wall + a near blob: the render must show structure
+    wall = np.stack([rng.uniform(-1, 1, 4000), rng.uniform(-1, 1, 4000),
+                     np.full(4000, 5.0)], axis=1)
+    blob = np.stack([rng.normal(0, 0.1, 500), rng.normal(0, 0.1, 500),
+                     np.full(500, 3.0)], axis=1)
+    xyz = np.concatenate([wall, blob])
+    rgb = np.concatenate([np.full((4000, 3), 200, np.uint8),
+                          np.full((500, 3), (255, 0, 0), np.uint8)])
+    img = render_cloud(xyz, rgb, width=160, height=120)
+    assert img.shape == (120, 160, 3)
+    assert (img != 16).any()                     # something was painted
+    reds = (img[..., 0] > 200) & (img[..., 1] < 60)
+    assert reds.any()                            # near blob visible (on top)
+    # all preset viewpoints render and differ
+    views = render_cloud_views(xyz, rgb, width=80, height=60)
+    assert set(views) == set(VIEWPOINTS)
+    assert not np.array_equal(views["front"], views["top_down"])
+
+
+def test_render_cloud_empty_and_nan():
+    from i3dr_stereo_tpu.viz.cloud import render_cloud
+
+    img = render_cloud(np.zeros((0, 3)), width=32, height=24)
+    assert img.shape == (24, 32, 3)
+    pts = np.array([[np.nan, 0, 1], [0.1, 0.2, 2.0]])
+    img2 = render_cloud(pts, width=32, height=24)
+    assert img2.shape == (24, 32, 3)
+
+
+def test_viewer_cloud_pane(tmp_path):
+    from i3dr_stereo_tpu.bridge.graph import Graph
+    from i3dr_stereo_tpu.viz.viewer import StereoViewer
+
+    g = Graph()
+    viewer = StereoViewer(g, "/stereo")
+    viewer.set_viewpoint("orbit_right")
+    img = np.random.default_rng(0).uniform(0, 255, (32, 40)).astype(np.float32)
+    g.publish("/stereo/left/image_rect", 0.0, img)
+    H, W = 32, 40
+    X, Y = np.meshgrid(np.linspace(-1, 1, W), np.linspace(-1, 1, H))
+    xyz = np.dstack([X, Y, np.full((H, W), 4.0)]).reshape(-1, 3)
+    g.publish("/stereo/points2", 0.0,
+              {"xyz": xyz.reshape(H, W, 3),
+               "rgb": np.full((H, W, 3), 128, np.uint8),
+               "valid": np.ones((H, W), bool)})
+    out = viewer.save(str(tmp_path / "cloudview.png"))
+    assert out and os.path.exists(out)

@@ -154,3 +154,20 @@ def test_true_backmatch_kills_occlusions():
         # most occluded pixels rejected, most visible pixels kept
         assert v[occluded].mean() < 0.45
     assert v[sc.valid].mean() > 0.75
+
+
+def test_uniqueness_ratio_applies_on_pyramid_path():
+    """cfg.uniqueness_ratio must actually gate the flagship WTA (it was
+    silently dropped in r2 — VERDICT weak #7); the engine default is 0
+    (quick.param has no uniqueness key)."""
+    assert ALGORITHM_DEFAULTS[Algorithm.I3DRSGM].uniqueness_ratio == 0.0
+    sc = layered_scene(96, 128, max_disp=20, seed=9)
+    base = ALGORITHM_DEFAULTS[Algorithm.I3DRSGM].replace(
+        disparity_range=32, speckle_size=0, backmatch_distance=-1.0)
+    d0 = pyramid_sgm_match(sc.left, sc.right, base)
+    d40 = pyramid_sgm_match(sc.left, sc.right,
+                            base.replace(uniqueness_ratio=40.0))
+    v0 = np.asarray(d0.valid).mean()
+    v40 = np.asarray(d40.valid).mean()
+    assert v40 < v0  # a 40% margin filter must reject something
+    assert v40 > 0.2  # but not everything

@@ -75,3 +75,40 @@ def test_bm_vs_opencv_blockmatcher():
     assert both.mean() > 0.4
     med = np.median(np.abs(our_disp - cv_disp)[both])
     assert med < 0.5, f"median |ours - StereoBM| = {med:.3f} px"
+
+
+def test_bm_normalized_response_prefilter_vs_opencv():
+    """prefilter_type='normalized_response' consumes prefilter_size and
+    tracks cv::StereoBM's PREFILTER_NORMALIZED_RESPONSE mode
+    (matcherOpenCVBlock.cpp:86-108 exposes size+cap for this mode)."""
+    sc = layered_scene(128, 160, max_disp=24, seed=6)
+    bm = cv2.StereoBM_create(numDisparities=32, blockSize=9)
+    bm.setPreFilterType(cv2.STEREO_BM_PREFILTER_NORMALIZED_RESPONSE)
+    bm.setPreFilterSize(9)
+    bm.setPreFilterCap(31)
+    bm.setTextureThreshold(10)
+    bm.setUniquenessRatio(15)
+    bm.setSpeckleWindowSize(0)
+    d = bm.compute(sc.left.astype(np.uint8), sc.right.astype(np.uint8))
+    cv_disp = d.astype(np.float32) / 16.0
+    cv_valid = d > -16
+
+    cfg = ALGORITHM_DEFAULTS[Algorithm.BM].replace(
+        disparity_range=32, window_size=9, uniqueness_ratio=15.0,
+        texture_threshold=10.0, speckle_size=0,
+        prefilter_type="normalized_response", prefilter_size=9)
+    res = create_matcher(cfg).match(sc.left, sc.right)
+    our_disp = np.asarray(res.disparity)
+    our_valid = np.asarray(res.valid)
+    both = cv_valid & our_valid & sc.valid
+    assert both.mean() > 0.35
+    med = np.median(np.abs(our_disp - cv_disp)[both])
+    assert med < 0.5, f"median |ours - StereoBM(norm)| = {med:.3f} px"
+
+
+def test_prefilter_type_rejected_loudly():
+    import pytest
+
+    with pytest.raises(ValueError, match="prefilter_type"):
+        ALGORITHM_DEFAULTS[Algorithm.BM].replace(
+            prefilter_type="bogus").sanitize()
