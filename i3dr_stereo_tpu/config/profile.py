@@ -96,6 +96,9 @@ class PyramidLevelConfig:
     speckle_max_region: int = 100
     subpixel: bool = True            # "DSI Interpolator = Parabolic"
     interpolate_gaps: bool = True    # "Interpolate Disparity" (Gauss interpolator)
+    interpolator_mode: str = "gauss"  # "Interpolator Mode" (Gauss | wls fallback)
+    interp_directions: int = 32      # "Interpolator Number Of Directions"
+    interp_min_elements: int = 0     # "Interpolator Minimum Number Of Elements"
     interpolate_occlusions: bool = True
     occlusion_detection: bool = False
     prediction_shift: float = -5.0   # "Top Prediction Shift" (coarsest level only)
@@ -137,6 +140,10 @@ class PyramidLevelConfig:
             speckle_max_region=int(float(g("Disparity Speckle Filter Max Region Size", "100"))),
             subpixel=g("DSI Interpolator", "Parabolic").strip().lower() == "parabolic",
             interpolate_gaps=_to_bool(g("Interpolate Disparity", "true")),
+            interpolator_mode=g("Interpolator Mode", "Gauss").strip().lower(),
+            interp_directions=int(g("Interpolator Number Of Directions", "32")),
+            interp_min_elements=int(
+                g("Interpolator Minimum Number Of Elements", "0")),
             interpolate_occlusions=_to_bool(g("Interpolate Occlusions", "true")),
             occlusion_detection=_to_bool(g("Occlusion Detection", "false")),
             prediction_shift=top_shift,

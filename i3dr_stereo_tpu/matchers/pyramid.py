@@ -127,6 +127,10 @@ def profile_from_config(cfg: MatcherConfig) -> SGMProfile:
             occlusion_detection=cfg.occlusion_detection,
             prediction_shift=0.0,
             uniqueness_ratio=float(cfg.uniqueness_ratio),
+            # the flat config's interp knob means the cv-style WLS chain
+            # (cfg/i3DR_Disparity.cfg:38); engine .param profiles keep
+            # their own "Interpolator Mode = Gauss"
+            interpolator_mode="wls",
         ))
     return SGMProfile(name="from_config", levels=tuple(levels))
 
@@ -239,7 +243,7 @@ def pyramid_sgm_match(left, right, cfg: MatcherConfig,
             if not finest:
                 disp = jnp.where(valid, disp, median3x3(disp))
             elif p.interpolate_gaps:
-                disp, valid = wls_fill(disp, valid, ll)
+                disp, valid = _fill_gaps(p, disp, valid, ll)
             continue
 
         if disp is None:
@@ -325,7 +329,7 @@ def pyramid_sgm_match(left, right, cfg: MatcherConfig,
             # the next level's windows re-centre sensibly
             disp = jnp.where(valid, disp, median3x3(disp))
         elif p.interpolate_gaps:
-            disp, valid = wls_fill(disp, valid, ll)
+            disp, valid = _fill_gaps(p, disp, valid, ll)
 
     # bring the final estimate to full resolution if the finest enabled
     # level was coarser than 0 (reference: disabled fine pyramids)
@@ -340,6 +344,19 @@ def pyramid_sgm_match(left, right, cfg: MatcherConfig,
     if not batched:
         res = MatchResult(disparity=res.disparity[0], valid=res.valid[0])
     return res
+
+
+def _fill_gaps(p, disp, valid, ll):
+    """Hole filling per the level's "Interpolator Mode": the engine's
+    32-direction Gauss interpolator (quick.param:111-117) or the
+    cv-style WLS diffusion used by the flat-config interp path."""
+    if p.interpolator_mode == "gauss":
+        from i3dr_stereo_tpu.ops.gauss_interp import gauss_interpolate
+
+        return gauss_interpolate(disp, valid,
+                                 n_directions=p.interp_directions,
+                                 min_elements=p.interp_min_elements)
+    return wls_fill(disp, valid, ll)
 
 
 def _ceil_to(v: int, m: int) -> int:

@@ -171,3 +171,36 @@ def test_uniqueness_ratio_applies_on_pyramid_path():
     v40 = np.asarray(d40.valid).mean()
     assert v40 < v0  # a 40% margin filter must reject something
     assert v40 > 0.2  # but not everything
+
+
+def test_gauss_interpolator_fills_directionally():
+    """quick.param's "Interpolator Mode = Gauss, Number Of Directions =
+    32": holes fill from nearest valid values along rays, weighted by
+    Gaussian distance — near a depth edge the near side dominates."""
+    from i3dr_stereo_tpu.ops.gauss_interp import gauss_interpolate
+
+    H, W = 64, 96
+    d = np.full((H, W), 10.0, np.float32)
+    d[:, 48:] = 30.0                     # depth edge at x=48
+    v = np.ones((H, W), bool)
+    v[20:28, 40:46] = False              # hole fully on the 10-side
+    v[30:38, 60:80] = False              # wide hole on the 30-side
+    out, nv = gauss_interpolate(jnp.asarray(d), jnp.asarray(v))
+    out = np.asarray(out)
+    assert np.asarray(nv).all()
+    # hole on the 10 side fills near 10 (its center is 4 px from valid
+    # 10-values and >= 8 px from any 30-value)
+    assert abs(out[24, 43] - 10.0) < 2.0
+    # wide hole on the 30 side fills near 30
+    assert abs(out[34, 70] - 30.0) < 2.0
+    # valid pixels untouched
+    np.testing.assert_array_equal(out[v], d[v])
+
+
+def test_quick_profile_uses_gauss_interpolator():
+    from i3dr_stereo_tpu.config.profile import quick_profile
+
+    p = quick_profile()
+    lv = p.enabled_levels[0]
+    assert lv.interpolator_mode == "gauss"
+    assert lv.interp_directions == 32
