@@ -10,9 +10,10 @@ Reference equivalents:
 - the laser on/off frame routing of tiscamera_ctrl.py:175-183
   -> :class:`LaserSplitSource` driven by a trigger callable.
 
-Real GigE/GenICam hardware is out of scope for a TPU host (no camera
-SDK in the image); the protocol boundary is identical, so a hardware
-source drops in by implementing ``frames()``.
+Real GigE Vision cameras are driven WITHOUT any vendor SDK by
+:mod:`i3dr_stereo_tpu.io.gige` — GVCP control + GVSP streaming spoken
+directly over UDP (validated against a loopback protocol emulator);
+any other hardware source drops in by implementing ``frames()``.
 """
 
 from __future__ import annotations

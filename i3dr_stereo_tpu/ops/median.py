@@ -51,8 +51,12 @@ def median3x3(x: jax.Array) -> jax.Array:
 def median3x3_masked(x: jax.Array, valid: jax.Array) -> jax.Array:
     """Median that ignores invalid samples ("Nodata Policy = Ignore",
     ini/quick.param): invalid neighbours are replaced by the centre value
-    before the median, so they never influence it."""
-    nbs = _shifts9(x)
-    nvs = _shifts9(valid, pad_mode="constant", constant_values=False)
-    vals = [jnp.where(nv, nb, x) for nb, nv in zip(nbs, nvs)]
+    before the median, so they never influence it.
+
+    Invalidity rides a NaN sentinel in the shifted value planes (one set
+    of 9 shifts instead of shifting values AND a bool mask — halves the
+    pass's traffic at 2048x2448)."""
+    c = jnp.where(valid, x.astype(jnp.float32), jnp.nan)
+    nbs = _shifts9(c, pad_mode="constant", constant_values=jnp.nan)
+    vals = [jnp.where(jnp.isnan(nb), x, nb) for nb in nbs]
     return _median9(vals)
