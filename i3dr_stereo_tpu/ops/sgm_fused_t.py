@@ -444,18 +444,38 @@ def right_disparity_from_C_t(C: jax.Array, bpm: int, W_real: int):
     B, Wp, D, Hp = C.shape
     best = jnp.full((B, Wp, Hp), 255, jnp.int32)
     bestk = jnp.zeros((B, Wp, Hp), jnp.int32)
-    for k in range(D):
-        s = bpm + k
-        plane = C[:, :, k, :].astype(jnp.int32)
-        if s > 0:
-            plane = jnp.pad(plane[:, s:, :], ((0, 0), (0, s), (0, 0)),
-                            constant_values=255)
-        elif s < 0:
-            plane = jnp.pad(plane[:, :s, :], ((0, 0), (-s, 0), (0, 0)),
-                            constant_values=255)
-        better = plane < best
-        best = jnp.where(better, plane, best)
-        bestk = jnp.where(better, k, bestk)
+    if D <= 64:
+        # unrolled static shifts fuse into one pass over C
+        for k in range(D):
+            s = bpm + k
+            plane = C[:, :, k, :].astype(jnp.int32)
+            if s > 0:
+                plane = jnp.pad(plane[:, s:, :], ((0, 0), (0, s), (0, 0)),
+                                constant_values=255)
+            elif s < 0:
+                plane = jnp.pad(plane[:, :s, :], ((0, 0), (-s, 0), (0, 0)),
+                                constant_values=255)
+            better = plane < best
+            best = jnp.where(better, plane, best)
+            bestk = jnp.where(better, k, bestk)
+    else:
+        # rolled loop keeps the HLO small for wide DSIs; the x-shift
+        # becomes a dynamic slice of a once-padded volume
+        lo, hi = max(0, -(bpm)), max(0, bpm + D - 1)
+        Cp = jnp.pad(C, ((0, 0), (lo, hi), (0, 0), (0, 0)),
+                     constant_values=255)
+
+        def body(k, carry):
+            best, bestk = carry
+            plane = jax.lax.dynamic_index_in_dim(Cp, k, axis=2,
+                                                 keepdims=False)
+            plane = jax.lax.dynamic_slice_in_dim(plane, lo + bpm + k, Wp,
+                                                 axis=1).astype(jnp.int32)
+            better = plane < best
+            return (jnp.where(better, plane, best),
+                    jnp.where(better, k, bestk))
+
+        best, bestk = jax.lax.fori_loop(0, D, body, (best, bestk))
     # left column xr + bpm + k must be a real column
     xs = jnp.arange(Wp, dtype=jnp.int32)[None, :, None]
     in_img = (xs + bpm + bestk >= 0) & (xs + bpm + bestk < W_real)

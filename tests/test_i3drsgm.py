@@ -204,3 +204,33 @@ def test_quick_profile_uses_gauss_interpolator():
     lv = p.enabled_levels[0]
     assert lv.interpolator_mode == "gauss"
     assert lv.interp_directions == 32
+
+
+def test_right_disparity_rolled_matches_unrolled():
+    """D > 64 takes the fori_loop/dynamic-slice path; it must agree with
+    the unrolled static-shift reference."""
+    from i3dr_stereo_tpu.ops.sgm_fused_t import right_disparity_from_C_t
+
+    rng = np.random.default_rng(11)
+    B, Wp, D, Hp = 1, 40, 72, 16
+    bpm = -8
+    C = rng.integers(0, 250, (B, Wp, D, Hp)).astype(np.uint8)
+    d_big, v_big = map(np.asarray,
+                       right_disparity_from_C_t(jnp.asarray(C), bpm, Wp))
+    # numpy reference (same reindex, explicit)
+    best = np.full((B, Wp, Hp), 255, np.int32)
+    bestk = np.zeros((B, Wp, Hp), np.int32)
+    for k in range(D):
+        s = bpm + k
+        plane = np.full((B, Wp, Hp), 255, np.int32)
+        if s >= 0:
+            if s < Wp:
+                plane[:, :Wp - s] = C[:, s:, k, :]
+        else:
+            plane[:, -s:] = C[:, :s, k, :]
+        better = plane < best
+        best = np.where(better, plane, best)
+        bestk = np.where(better, k, bestk)
+    ref = (bpm + bestk).astype(np.float32).transpose(0, 2, 1)
+    np.testing.assert_array_equal(d_big[v_big],
+                                  ref.transpose(0, 1, 2)[np.asarray(v_big)])
