@@ -422,7 +422,7 @@ def _match_level_fused_t(ll, rr, pred_int, base_val: int, K: int, pens,
         valid_p = disp_t > -1.0e8
         r_res = jnp.where(valid_p, disp_t + float(bpm), 0.0)
         d_r, v_r = right_disparity_from_C_t(_C, bpm, Wh)
-        bm = (r_res, valid_p, d_r, v_r)
+        bm = (r_res, valid_p, d_r, v_r, bpm)
     return disp, valid, q, bm
 
 
@@ -434,17 +434,23 @@ def _backmatch_check_true(disp, valid, bm, max_diff: float, K: int, *,
 
     Runs in warped (residual) space, where left pixel x matched right
     pixel x - r(x): consistent iff |r(x) - d_R(x - round(r(x)))| <=
-    max_diff. The gather displacement is bounded by the residual window,
-    so the banded block gather is exact."""
-    from i3dr_stereo_tpu.ops.block_gather import block_anchors, block_shift_gather
+    max_diff. The anchor is the CONSTANT residual-window midpoint
+    (q = bpm + K8//2): since rr_int ∈ [bpm, bpm + K8] by construction
+    (the WTA searched exactly that window), |rr_int - q| <= K8//2 + 1
+    everywhere — including at depth discontinuities — so the banded
+    block gather with radius K8//2 + 1 is exact, independent of the
+    local residual statistics."""
+    from i3dr_stereo_tpu.ops.block_gather import block_shift_gather
 
-    r_res, valid_p, d_r, v_r = bm
+    r_res, valid_p, d_r, v_r, bpm = bm
     B, Hh, Wh = disp.shape
+    _, Hp, Wp = r_res.shape
     K8 = _ceil_to(max(K, 8), 8)
-    rr_int = jnp.round(r_res).astype(jnp.int32)     # in [-K8//2, K8//2]
-    q = block_anchors(rr_int)
+    rr_int = jnp.round(r_res).astype(jnp.int32)     # in [bpm, bpm + K8]
+    q = jnp.full((B, Hp // 8, (Wp + 127) // 128), int(bpm) + K8 // 2,
+                 jnp.int32)
     d_r_m = jnp.where(v_r, d_r, 1.0e9)              # invalid right -> fail
-    d_at = block_shift_gather(d_r_m, rr_int, q, K8 // 2 + 2,
+    d_at = block_shift_gather(d_r_m, rr_int, q, K8 // 2 + 1,
                               interpret=interpret)[:, :Hh, :Wh]
     xs = jnp.arange(Wh, dtype=jnp.int32)[None, None, :]
     xw = xs - rr_int[:, :Hh, :Wh]

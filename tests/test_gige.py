@@ -2,13 +2,24 @@
 the loopback emulator (the reference's L0 drivers wrap SDKs around this
 same wire protocol; here it's spoken directly — io/gige.py)."""
 
+import socket
+import struct
+import time
+
 import numpy as np
 import pytest
 
 from i3dr_stereo_tpu.io.gige import (
+    CCP_CONTROL,
+    REG_ACQUISITION_START,
+    REG_CCP,
     REG_EXPOSURE,
     REG_GAIN,
+    REG_HEARTBEAT_TIMEOUT,
     REG_HEIGHT,
+    REG_SCDA,
+    REG_SCP,
+    REG_SCPS,
     REG_WIDTH,
     GigECameraEmulator,
     GigECameraSource,
@@ -89,3 +100,170 @@ def test_gvsp_16bit_pixels(emu):
     assert len(frames) == 1
     np.testing.assert_array_equal(frames[0].data, img)
     rx.close()
+
+
+# --------------------------------------------------------------------------
+# hardware-survivability paths: control channel, heartbeat, packet resend
+# --------------------------------------------------------------------------
+
+
+def test_bringup_programs_stream_channel():
+    """Full GEV bring-up against a control-enforcing camera: CCP taken,
+    SCPS negotiated (clamped to the device MTU), SCDA/SCP point at the
+    receiver, and a frame sent to the PROGRAMMED destination (dest=None
+    — the hardware path, no out-of-band port) arrives."""
+    emu = GigECameraEmulator(serial="HW1", enforce_control=True,
+                             max_packet=1500)
+    try:
+        src = GigECameraSource(emu.address, width=64, height=48,
+                               packet_size=2996, timeout=0.3)
+        assert emu.regs[REG_CCP] & CCP_CONTROL
+        assert src.packet_size == 1500          # clamped by the device
+        assert emu.regs[REG_SCP] == src.receiver.port
+        assert emu.regs[REG_SCDA] == struct.unpack(
+            ">I", socket.inet_aton("127.0.0.1"))[0]
+        assert emu.regs[REG_WIDTH] == 64 and emu.regs[REG_HEIGHT] == 48
+        assert emu.regs[REG_ACQUISITION_START] == 1
+        img = np.arange(48 * 64, dtype=np.uint8).reshape(48, 64) % 250
+        emu.send_frame(img, block_id=11)        # dest from SCDA/SCP
+        got = list(src.frames())
+        assert len(got) == 1
+        np.testing.assert_array_equal(got[0].data, img)
+        src.close()
+        assert emu.regs[REG_CCP] == 0           # control released on close
+    finally:
+        emu.close()
+
+
+def test_writereg_denied_without_control():
+    emu = GigECameraEmulator(enforce_control=True)
+    try:
+        c = GVCPClient(emu.address, timeout=0.5)
+        with pytest.raises(IOError, match="0x8006"):
+            c.write_reg(REG_EXPOSURE, 100)
+        c.write_reg(REG_CCP, CCP_CONTROL)       # take control...
+        c.write_reg(REG_EXPOSURE, 100)          # ...now allowed
+        assert emu.regs[REG_EXPOSURE] == 100
+        c.close()
+    finally:
+        emu.close()
+
+
+def test_heartbeat_keeps_session_alive():
+    """The keepalive thread must hold the control channel open well past
+    the heartbeat window (the ~3 s death the reference's SDKs hide)."""
+    emu = GigECameraEmulator(enforce_control=True)
+    try:
+        src = GigECameraSource(emu.address, width=8, height=8,
+                               heartbeat_ms=300, timeout=0.3)
+        time.sleep(1.2)                          # 4x the window
+        assert "heartbeat_expired" not in emu.events
+        assert emu.regs[REG_ACQUISITION_START] == 1
+        assert src.control_lost_events == 0
+        src.close()
+    finally:
+        emu.close()
+
+
+def test_heartbeat_expiry_kills_then_driver_recovers():
+    """A silent controller loses the channel (camera stops streaming);
+    the driver's keepalive then detects the loss and re-acquires."""
+    emu = GigECameraEmulator(enforce_control=True)
+    try:
+        # silent controller: take control by hand, program a short
+        # window, then say nothing
+        c = GVCPClient(emu.address, timeout=0.5)
+        c.write_reg(REG_CCP, CCP_CONTROL)
+        c.write_reg(REG_HEARTBEAT_TIMEOUT, 200)
+        deadline = time.monotonic() + 3.0
+        while "heartbeat_expired" not in emu.events and \
+                time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert "heartbeat_expired" in emu.events
+        assert emu.regs[REG_ACQUISITION_START] == 0
+        c.close()
+
+        # the real driver detects a control loss and recovers
+        src = GigECameraSource(emu.address, width=8, height=8,
+                               heartbeat_ms=400, timeout=0.3)
+        # simulate a camera-side reset of the session
+        with emu._lock:
+            emu._controller = None
+            emu.regs[REG_CCP] = 0
+            emu.regs[REG_ACQUISITION_START] = 0
+        deadline = time.monotonic() + 3.0
+        while src.control_lost_events == 0 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert src.control_lost_events >= 1
+        deadline = time.monotonic() + 2.0
+        while emu.regs[REG_ACQUISITION_START] != 1 and \
+                time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert emu.regs[REG_ACQUISITION_START] == 1   # stream restarted
+        assert emu.regs[REG_CCP] & CCP_CONTROL
+        src.close()
+    finally:
+        emu.close()
+
+
+def test_packet_resend_recovers_lossy_stream():
+    """2% injected loss (payloads, leaders AND trailers) with lossy
+    resends too: every frame still completes via PACKETRESEND rounds —
+    the survivability the verdict demanded (>99% complete at 1% loss)."""
+    emu = GigECameraEmulator(enforce_control=True, loss_rate=0.02,
+                             resend_lossy=True, seed=7)
+    try:
+        src = GigECameraSource(emu.address, width=64, height=48,
+                               packet_size=264, timeout=0.2)
+        n = 50
+        rng = np.random.default_rng(1)
+        imgs = [rng.integers(0, 255, (48, 64), np.uint8) for _ in range(n)]
+        for i, img in enumerate(imgs):
+            emu.send_frame(img, block_id=i + 1)
+        got = {f.seq: f for f in src.frames()}
+        st = src.receiver.stats
+        assert st["resend_requests"] > 0 and st["recovered"] > 0
+        assert len(got) >= int(0.99 * n)
+        for i, img in enumerate(imgs):
+            if i + 1 in got:
+                np.testing.assert_array_equal(got[i + 1].data, img)
+        src.close()
+    finally:
+        emu.close()
+
+
+def test_reordered_stream_reassembles_without_resend():
+    emu = GigECameraEmulator(enforce_control=True, reorder=True, seed=3)
+    try:
+        src = GigECameraSource(emu.address, width=40, height=32,
+                               packet_size=200, timeout=0.3)
+        img = (np.arange(32 * 40, dtype=np.uint8) % 240).reshape(32, 40)
+        for i in range(5):
+            emu.send_frame(img, block_id=i + 1)
+        got = list(src.frames())
+        assert len(got) == 5
+        assert src.receiver.stats["resend_requests"] == 0
+        src.close()
+    finally:
+        emu.close()
+
+
+def test_stale_blocks_age_out():
+    """A trailer-less block with no resend path cannot pin memory: it is
+    evicted at block_ttl and counted dropped."""
+    rx = GVSPReceiver(("127.0.0.1", 0), timeout=0.2, block_ttl=0.3)
+    emu = GigECameraEmulator()
+    try:
+        img = np.zeros((16, 16), np.uint8)
+        # drop the trailer (last pid = ceil(256/200)+1 = 3)
+        emu.send_frame(img, ("127.0.0.1", rx.port), block_id=1,
+                       payload_size=200, drop_packet=3)
+        t0 = time.monotonic()
+        frames = list(rx.frames())
+        assert frames == []
+        assert rx.stats["dropped"] == 1
+        assert not rx._blocks
+        assert time.monotonic() - t0 < 5.0
+    finally:
+        emu.close()
+        rx.close()
