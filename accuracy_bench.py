@@ -1,15 +1,24 @@
 """Accuracy gates at the reference's own operating points -> ACCURACY_rN.json.
 
 BASELINE.json measurement configs exercised at full scale (the CI oracle
-tests run the same comparisons at reduced sizes):
+tests run the same comparisons at reduced sizes — each row function takes
+a scale/size argument):
 
 1. SGBM vs cv2.StereoSGBM MODE_HH at 1280x1024, 128 disparities,
    subpixel on (BASELINE config 2 / subpix.param operating point;
    reference defaults launch/stereo_matcher.launch:37-38).
 2. Pyramid I3DRSGM engine at 2448x2048, 256-disparity coverage, vs
    exact synthetic ground truth AND vs cv2.StereoSGBM on the same pair.
+3. HARD layered scene at 2448x2048: quarter-pixel layer disparities
+   (subpixel GT — integer-locking scores nonzero) + the photometric
+   asymmetry of a real two-camera rig (right gain x1.1, bias +8,
+   sigma=2 sensor noise per view).
+4. Slanted plane at 2448x2048: linearly varying subpixel disparity —
+   the parabolic-interpolator gate (quick.param:81 "DSI Interpolator").
 
-Gate: <0.25 px median (BASELINE.md). Run from /root/repo:
+Every row reports median |err| px, bad-pixel rates (>1 px / >2 px %),
+and density, vs ground truth (and vs cv2 where the reference oracle is
+cv2). Gate: <0.25 px median (BASELINE.md). Run from /root/repo:
     python accuracy_bench.py [out.json]        # TPU if available
     JAX_PLATFORMS=cpu python accuracy_bench.py # CPU
 """
@@ -28,7 +37,7 @@ import cv2  # noqa: E402
 import numpy as np  # noqa: E402
 
 from i3dr_stereo_tpu.config.params import ALGORITHM_DEFAULTS, Algorithm  # noqa: E402
-from i3dr_stereo_tpu.io.synthetic import layered_scene  # noqa: E402
+from i3dr_stereo_tpu.io.synthetic import layered_scene, slanted_scene  # noqa: E402
 from i3dr_stereo_tpu.matchers import create_matcher  # noqa: E402
 
 
@@ -43,9 +52,20 @@ def _cv_sgbm(left, right, *, min_disp=0, num_disp=128, block=5, p1=200,
     return d.astype(np.float32) / 16.0, d > (min_disp - 1) * 16
 
 
-def sgbm_1280() -> dict:
+def _metrics(err: np.ndarray, sel: np.ndarray) -> dict:
+    """median / bad-pixel-rate / density block (the fields standard
+    stereo benchmarks report next to each other — median alone hides the
+    tail, the round-3 verdict's point)."""
+    e = err[sel]
+    return {"median_px": round(float(np.median(e)), 4),
+            "bad1_pct": round(float((e > 1.0).mean() * 100.0), 3),
+            "bad2_pct": round(float((e > 2.0).mean() * 100.0), 3),
+            "density": round(float(sel.mean()), 3)}
+
+
+def sgbm_1280(H: int = 1024, W: int = 1280) -> dict:
     """BASELINE config 2: 1280x1024, 128 disparities, subpixel."""
-    sc = layered_scene(1024, 1280, max_disp=120, background_disp=8,
+    sc = layered_scene(H, W, max_disp=120, background_disp=8,
                        layers=5, seed=21)
     cv_disp, cv_valid = _cv_sgbm(sc.left, sc.right)
     cfg = ALGORITHM_DEFAULTS[Algorithm.SGBM].replace(
@@ -55,19 +75,19 @@ def sgbm_1280() -> dict:
     res = create_matcher(cfg).match(sc.left, sc.right)
     ours, ov = np.asarray(res.disparity), np.asarray(res.valid)
     both = cv_valid & ov & sc.valid
-    med_vs_cv = float(np.median(np.abs(ours - cv_disp)[both]))
-    med_vs_gt = float(np.median(np.abs(ours - sc.disparity)[both]))
-    return {"config": "sgbm_1280x1024_128d_subpix",
-            "density": round(float(both.mean()), 3),
-            "median_px_vs_cv_sgbm": round(med_vs_cv, 4),
-            "median_px_vs_gt": round(med_vs_gt, 4),
-            "gate_lt": 0.25, "pass": med_vs_cv < 0.25}
+    row = {"config": f"sgbm_{W}x{H}_128d_subpix"}
+    row.update(_metrics(np.abs(ours - sc.disparity), both))
+    row["median_px_vs_cv_sgbm"] = round(
+        float(np.median(np.abs(ours - cv_disp)[both])), 4)
+    row["gate_lt"] = 0.25
+    row["pass"] = row["median_px_vs_cv_sgbm"] < 0.25 and row["median_px"] < 0.25
+    return row
 
 
-def i3drsgm_2448() -> dict:
+def i3drsgm_2448(H: int = 2048, W: int = 2448) -> dict:
     """BASELINE config 3 accuracy side: pyramid engine at full res vs
     exact GT and vs cv2 SGBM on the same frame."""
-    sc = layered_scene(2048, 2448, max_disp=200, background_disp=16,
+    sc = layered_scene(H, W, max_disp=200, background_disp=16,
                        layers=6, seed=1)
     cfg = ALGORITHM_DEFAULTS[Algorithm.I3DRSGM].replace(
         disparity_range=256, max_pyramid_level=4,
@@ -75,23 +95,72 @@ def i3drsgm_2448() -> dict:
     res = create_matcher(cfg).match(sc.left, sc.right)
     ours, ov = np.asarray(res.disparity), np.asarray(res.valid)
     sel = ov & sc.valid
-    med_gt = float(np.median(np.abs(ours - sc.disparity)[sel]))
+    row = {"config": f"i3drsgm_pyramid_{W}x{H}_256d"}
+    row.update(_metrics(np.abs(ours - sc.disparity), sel))
 
     cv_disp, cv_valid = _cv_sgbm(sc.left, sc.right, num_disp=256)
     both = sel & cv_valid
-    med_cv = float(np.median(np.abs(ours - cv_disp)[both]))
-    cv_gt = float(np.median(np.abs(cv_disp - sc.disparity)[both]))
-    return {"config": "i3drsgm_pyramid_2448x2048_256d",
-            "density": round(float(sel.mean()), 3),
-            "median_px_vs_gt": round(med_gt, 4),
-            "median_px_vs_cv_sgbm": round(med_cv, 4),
-            "cv_sgbm_median_px_vs_gt": round(cv_gt, 4),
-            "gate_lt": 0.25, "pass": med_gt < 0.25}
+    row["median_px_vs_cv_sgbm"] = round(
+        float(np.median(np.abs(ours - cv_disp)[both])), 4)
+    row["cv_sgbm_median_px_vs_gt"] = round(
+        float(np.median(np.abs(cv_disp - sc.disparity)[both])), 4)
+    row["gate_lt"] = 0.25
+    row["pass"] = row["median_px"] < 0.25
+    return row
 
 
-def main(out_path: str = "ACCURACY_r03.json") -> None:
-    rows = [sgbm_1280(), i3drsgm_2448()]
-    doc = {"gate": "<0.25 px median (BASELINE.md)",
+def i3drsgm_hard_2448(H: int = 2048, W: int = 2448) -> dict:
+    """HARD full-res row (round-3 verdict #1): quarter-pixel layer
+    disparities (subpixel GT) + photometric asymmetry (right gain x1.1
+    bias +8, sigma=2 noise both views) — what a real laser-speckle
+    two-camera rig produces. cv2 SGBM runs on the same pair so its
+    vs-GT score is an honest nonzero reference point."""
+    sc = layered_scene(H, W, max_disp=200, background_disp=16,
+                       layers=6, seed=11, fractional=True,
+                       right_gain=1.1, right_bias=8.0, noise_sigma=2.0)
+    cfg = ALGORITHM_DEFAULTS[Algorithm.I3DRSGM].replace(
+        disparity_range=256, max_pyramid_level=4,
+        speckle_size=100, speckle_downsample=2, median_filter=True)
+    res = create_matcher(cfg).match(sc.left, sc.right)
+    ours, ov = np.asarray(res.disparity), np.asarray(res.valid)
+    sel = ov & sc.valid
+    row = {"config": f"i3drsgm_pyramid_{W}x{H}_fractional_asym"}
+    row.update(_metrics(np.abs(ours - sc.disparity), sel))
+
+    cv_disp, cv_valid = _cv_sgbm(sc.left, sc.right, num_disp=256)
+    both = sel & cv_valid
+    row["cv_sgbm_median_px_vs_gt"] = round(
+        float(np.median(np.abs(cv_disp - sc.disparity)[both])), 4)
+    row["gate_lt"] = 0.25
+    row["pass"] = row["median_px"] < 0.25
+    return row
+
+
+def slanted_2448(H: int = 2048, W: int = 2448) -> dict:
+    """Full-res slanted plane: disparity varies linearly 20 -> 180 px
+    across x with continuous subpixel ground truth (no fronto-parallel
+    structure at all — the parabolic subpixel interpolator does the
+    work, quick.param:81)."""
+    d_near = min(180.0, W / 13.6)
+    sc = slanted_scene(H, W, d_near=d_near, d_far=20.0, seed=2)
+    cfg = ALGORITHM_DEFAULTS[Algorithm.I3DRSGM].replace(
+        disparity_range=256, max_pyramid_level=4,
+        speckle_size=100, speckle_downsample=2, median_filter=True)
+    res = create_matcher(cfg).match(sc.left, sc.right)
+    ours, ov = np.asarray(res.disparity), np.asarray(res.valid)
+    sel = ov & sc.valid
+    row = {"config": f"i3drsgm_pyramid_{W}x{H}_slanted_subpix"}
+    row.update(_metrics(np.abs(ours - sc.disparity), sel))
+    row["gate_lt"] = 0.25
+    row["pass"] = row["median_px"] < 0.25
+    return row
+
+
+def main(out_path: str = "ACCURACY_r04.json") -> None:
+    rows = [sgbm_1280(), i3drsgm_2448(), i3drsgm_hard_2448(),
+            slanted_2448()]
+    doc = {"gate": "<0.25 px median (BASELINE.md); bad-pixel rates and "
+                   "density reported per row",
            "all_pass": all(r["pass"] for r in rows), "rows": rows}
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
