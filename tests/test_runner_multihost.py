@@ -103,3 +103,21 @@ def test_two_process_global_frame_batch(tmp_path):
 
     res = json.loads(out.read_text())
     assert res["ok"] and res["processes"] == 2 and res["global_devices"] == 8
+
+
+def test_multihost_four_streams_tiled(tmp_path):
+    """BASELINE config 5 miniature: 4 concurrent stereo streams x tiled
+    batches over the REAL 2-process rig, per-stream throughput +
+    accuracy + a cross-host collective per batch (the last BASELINE
+    config that had no harness at any scale)."""
+    import multihost_streams_bench as msb
+
+    out = tmp_path / "streams.json"
+    doc = msb.run(str(out), timeout=280.0)
+    assert doc["ok"]
+    assert doc["processes"] == 2 and doc["streams"] == 4
+    assert len(doc["rows"]) == 4
+    for row in doc["rows"]:
+        assert row["tiles_per_s"] > 0
+        assert row["median_px_vs_gt"] < 0.5
+        assert row["collective_valid_px"] > 0
