@@ -206,15 +206,33 @@ def launch_stereo_calibration(*, namespace: str = "/stereo",
 def launch_replay(rig: StereoRig, directory: str, *,
                   stereo_algorithm: Algorithm = Algorithm.SGBM,
                   namespace: str = "/stereo", fps: float = 5.0,
+                  rate: float = 0.0,
                   **matcher_kw) -> Tuple[LaunchedGraph, Iterator]:
     """stereo_bag.launch: replay a recorded directory through the full
-    matcher graph (the offline regression path)."""
+    matcher graph (the offline regression path).
+
+    ``rate`` > 0 paces publishes by the RECORDED stamps at that multiple
+    of real time — ``rosbag play --clock -r <rate>``
+    (launch/stereo_bag_capture.launch:35-38): rate=1 replays in real
+    time, rate=2 at double speed. rate=0 (default) runs
+    as-fast-as-possible (the offline regression mode).
+    """
     lg = launch_stereo_matcher(rig, stereo_algorithm=stereo_algorithm,
                                namespace=namespace, **matcher_kw)
     src = StereoDirectorySource(directory, fps=fps)
 
     def run():
+        import time as _time
+
+        t0 = wall0 = None
         for l, r in src.pairs():
+            if rate and rate > 0:
+                if t0 is None:
+                    t0, wall0 = l.stamp, _time.monotonic()
+                else:
+                    delay = wall0 + (l.stamp - t0) / rate - _time.monotonic()
+                    if delay > 0:
+                        _time.sleep(delay)
             lg.graph.publish(f"{namespace}/left/image_raw", l.stamp, l.data)
             lg.graph.publish(f"{namespace}/right/image_raw", r.stamp, r.data)
             yield l.stamp

@@ -124,6 +124,7 @@ def cmd_replay(args) -> int:
                               baseline_m=args.baseline)
     lg, run = launch_replay(rig, args.directory,
                             stereo_algorithm=Algorithm[args.algorithm],
+                            rate=args.rate,
                             rectify_inputs=False)
     meter = FPSMeter()
     n = 0
@@ -151,9 +152,50 @@ def cmd_live(args) -> int:
     lg = launch_stereo_camera(rig, stereo_algorithm=Algorithm[args.algorithm],
                               source=src, rectify_inputs=False)
     viewer = StereoViewer(lg.graph, "/stereo")
-    n = run_source(lg)
-    out = {"frames": n,
-           "processed": lg.node("generate_disparity").frames_processed}
+    out = {}
+    if args.serve:
+        # the operator loop (stereo_gui + rqt_reconfigure analog): serve
+        # the live montage as MJPEG and the node's reconfigure servers
+        # over HTTP; numeric tuning reuses the compiled step
+        import threading
+        import time as _time
+
+        from i3dr_stereo_tpu.viz.serve import OperatorServer
+
+        node = lg.node("generate_disparity")
+        srv = OperatorServer(viewer.render,
+                             {"disparity": node.disparity_cfg,
+                              "cloud": node.cloud_cfg},
+                             port=args.port).start()
+        print(json.dumps({"serving": srv.url}), flush=True)
+
+        stop = threading.Event()
+        fed = [0]
+
+        def feed():
+            while not stop.is_set():
+                fed[0] += run_source(lg)   # pairs() restarts each sweep
+                if args.duration <= 0:
+                    break
+
+        t = threading.Thread(target=feed, daemon=True)
+        t.start()
+        try:
+            if args.duration > 0:
+                _time.sleep(args.duration)
+            else:
+                t.join()
+        except KeyboardInterrupt:
+            pass
+        stop.set()
+        t.join(timeout=5)
+        out["served"] = srv.url
+        srv.close()
+        frames = fed[0]
+    else:
+        frames = run_source(lg)
+    out.update({"frames": frames,
+                "processed": lg.node("generate_disparity").frames_processed})
     if args.save_view:
         out["view"] = viewer.save(args.save_view)
     print(json.dumps(out))
@@ -219,6 +261,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("replay", help="replay a recorded directory")
     p.add_argument("directory")
+    p.add_argument("-r", "--rate", type=float, default=0.0,
+                   help="clock-paced replay at this multiple of recorded "
+                        "time (rosbag play -r; 0 = as fast as possible)")
     _add_matcher_args(p)
     p.set_defaults(fn=cmd_replay)
 
@@ -227,6 +272,15 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=320)
     p.add_argument("--height", type=int, default=240)
     p.add_argument("--save-view", default=None)
+    p.add_argument("--serve", action="store_true",
+                   help="serve the operator loop over HTTP: MJPEG live "
+                        "view + reconfigure panel (stereo_gui + "
+                        "rqt_reconfigure analog)")
+    p.add_argument("--port", type=int, default=0,
+                   help="HTTP port for --serve (0 = ephemeral)")
+    p.add_argument("--duration", type=float, default=0.0,
+                   help="with --serve: loop the source and serve for this "
+                        "many seconds (0 = one pass over --frames)")
     _add_matcher_args(p)
     p.set_defaults(fn=cmd_live)
 

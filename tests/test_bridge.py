@@ -260,3 +260,67 @@ def test_match_failure_drops_frame_keeps_running():
     lg.graph.publish("/stereo/left/image_raw", 1.0, sc.left)
     lg.graph.publish("/stereo/right/image_raw", 1.0, sc.right)
     assert node.frames_processed == 1
+
+
+def test_bind_pipeline_live_tuning_no_retrace():
+    """The operator loop's parameter path: a ReconfigureServer bound to a
+    RUNNING StereoPipeline. Numeric tuning (p1/p2/uniqueness/depth_max)
+    reuses the compiled step — zero re-traces (the reference rebuilds its
+    engine per setter, I3DRSGM.cpp:630-654); a shape change re-jits."""
+    from i3dr_stereo_tpu.bridge.reconfigure import bind_pipeline
+    from i3dr_stereo_tpu.config.params import PointCloudConfig
+    from i3dr_stereo_tpu.pipeline.stereo_pipeline import StereoPipeline
+
+    rig = StereoRig.synthetic(96, 80, fx=120.0, baseline_m=0.3)
+    cfg = ALGORITHM_DEFAULTS[Algorithm.SGBM].replace(disparity_range=32,
+                                                     speckle_size=0)
+    pipe = StereoPipeline(rig=rig, config=cfg,
+                          cloud=PointCloudConfig(depth_max=15.0),
+                          rectify_inputs=False, compute_points=False)
+    srv = bind_pipeline(pipe)
+    # server seeded from the pipeline, not schema defaults
+    assert srv.get()["p1"] == pytest.approx(cfg.p1)
+
+    sc = layered_scene(80, 96, max_disp=12)
+    r1 = pipe.process(sc.left, sc.right)
+    fn = next(iter(pipe._cache.values()))
+    t0 = fn._cache_size()
+
+    srv.update(p1=150.0, p2=1500.0, uniqueness_ratio=3.0, depth_max=8.0)
+    assert pipe.config.p2 == 1500.0 and pipe.cloud.depth_max == 8.0
+    r2 = pipe.process(sc.left, sc.right)
+    assert len(pipe._cache) == 1 and fn._cache_size() == t0
+    assert not np.array_equal(np.asarray(r2.disparity),
+                              np.asarray(r1.disparity))
+
+    srv.update(disparity_range=48)      # shape-affecting -> re-jit
+    pipe.process(sc.left, sc.right)
+    assert len(pipe._cache) == 2
+
+
+def test_replay_clock_paced(tmp_path):
+    """rosbag play -r analog (stereo_bag_capture.launch:35-38): rate>0
+    paces publishes by recorded stamps / rate; wall-clock ~ span/rate."""
+    import time
+
+    rig = _rig()
+    src = SyntheticStereoSource(width=96, height=80, n_frames=4, max_disp=12)
+    record_pairs(str(tmp_path), src.pairs())
+
+    def run_replay(rate):
+        lg, run = launch_replay(rig, str(tmp_path), config=_small_cfg(),
+                                rectify_inputs=False, warmup=False,
+                                rate=rate, fps=1.0)
+        t0 = time.monotonic()
+        stamps = list(run)
+        return time.monotonic() - t0, stamps
+
+    wall_fast, stamps = run_replay(0.0)       # as-fast baseline (jit cost)
+    span = stamps[-1] - stamps[0]             # recorded time span (3 s)
+    assert span > 0
+    # pick a rate whose pacing floor clearly exceeds the compute time, so
+    # wall-clock ~ span/rate is attributable to pacing, not jit
+    rate = span / (2.0 * wall_fast + 1.0)
+    wall_paced, _ = run_replay(rate)
+    assert wall_paced >= span / rate * 0.9    # paced to the stamp clock
+    assert wall_fast < span / rate * 0.7      # and pacing caused it

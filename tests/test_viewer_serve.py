@@ -1,0 +1,89 @@
+"""The operator loop over HTTP (viz/serve.py): live MJPEG view + the
+reconfigure panel bound to a RUNNING graph — the reference's
+stereo_gui + rqt_reconfigure workflow (src/stereo_gui.cpp:126-147,
+launch/stereo_matcher.launch:209) without a display server."""
+
+import json
+import urllib.request
+
+import numpy as np
+
+from i3dr_stereo_tpu.bridge.launch import launch_stereo_camera, run_source
+from i3dr_stereo_tpu.config.params import ALGORITHM_DEFAULTS, Algorithm
+from i3dr_stereo_tpu.core.camera import StereoRig
+from i3dr_stereo_tpu.io.sources import SyntheticStereoSource
+from i3dr_stereo_tpu.viz.serve import OperatorServer
+from i3dr_stereo_tpu.viz.viewer import StereoViewer
+
+
+def _get(url, timeout=10):
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def test_operator_server_end_to_end():
+    src = SyntheticStereoSource(width=96, height=80, n_frames=2, max_disp=12)
+    rig = StereoRig.synthetic(96, 80, fx=100.0)
+    cfg = ALGORITHM_DEFAULTS[Algorithm.SGBM].replace(disparity_range=16,
+                                                     speckle_size=0)
+    lg = launch_stereo_camera(rig, stereo_algorithm=Algorithm.SGBM,
+                              source=src, rectify_inputs=False,
+                              config=cfg, warmup=False)
+    viewer = StereoViewer(lg.graph, "/stereo")
+    node = lg.node("generate_disparity")
+    run_source(lg)  # produce frames so the montage exists
+
+    srv = OperatorServer(viewer.render,
+                         {"disparity": node.disparity_cfg,
+                          "cloud": node.cloud_cfg}).start()
+    try:
+        # landing page + snapshot
+        status, ctype, body = _get(srv.url)
+        assert status == 200 and b"/stream" in body
+        status, ctype, body = _get(srv.url + "frame.jpg")
+        assert status == 200 and ctype == "image/jpeg" and len(body) > 1000
+
+        # params reflect the node's CURRENT values (seeded, not defaults)
+        status, _, body = _get(srv.url + "params")
+        params = json.loads(body)
+        assert set(params) == {"disparity", "cloud"}
+        assert params["disparity"]["values"]["disparity_range"] == 16
+
+        # live tuning through the HTTP path reaches the running pipeline
+        before = node.pipeline.config.p2
+        status, _, body = _get(srv.url + "set?server=disparity&p2=1234")
+        assert status == 200 and json.loads(body)["ok"]
+        assert node.pipeline.config.p2 == 1234.0 != before
+
+        # numeric-only change reuses the compiled step on the next frame
+        keys_before = len(node.pipeline._cache)
+        run_source(lg)
+        assert len(node.pipeline._cache) == keys_before
+
+        # unknown parameter -> clean 4xx, not a crash
+        try:
+            _get(srv.url + "set?server=disparity&bogus=1")
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 400
+        assert raised
+
+        # the MJPEG stream yields at least one JPEG part
+        req = urllib.request.urlopen(srv.url + "stream", timeout=10)
+        chunk = req.read(20000)
+        req.close()
+        assert b"--frame" in chunk and b"image/jpeg" in chunk
+    finally:
+        srv.close()
+
+
+def test_cli_live_serve(tmp_path, capsys):
+    from i3dr_stereo_tpu.cli import main
+
+    rc = main(["live", "--frames", "2", "--width", "96", "--height", "80",
+               "--serve", "--algorithm", "BM"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    first, last = json.loads(out[0]), json.loads(out[-1])
+    assert first["serving"].startswith("http://")
+    assert last["processed"] >= 1 and "served" in last
