@@ -124,15 +124,16 @@ class GenerateDisparityNode(Node):
     def _on_disparity_reconf(self, flat, changed):
         # apply only the keys that changed: re-coercing the whole flat
         # dict would clamp unrelated fields through the schema's types
-        # (e.g. engine speckle_range 0.5 -> int 0)
+        # (e.g. engine speckle_range 0.5 -> int 0). No cache handling:
+        # numeric fields are traced arguments of the compiled step
+        # (StereoPipeline.DYN_FIELDS), structural ones re-key the jit
+        # cache — live tuning never rebuilds (cf. I3DRSGM.cpp:630-654)
         self.pipeline.config = apply_flat_params(
             self.pipeline.config, {k: flat[k] for k in changed})
-        self.pipeline._cache.clear()
 
     def _on_cloud_reconf(self, flat, changed):
         self.pipeline.cloud = apply_cloud_params(
             self.pipeline.cloud, {k: flat[k] for k in changed})
-        self.pipeline._cache.clear()
 
     # -- services -------------------------------------------------------------
     def save_stereo(self, req: SaveStereoRequest) -> SaveStereoResponse:

@@ -6,8 +6,12 @@ from cfg/*.cfg with ranges and an enum of algorithms
 initialization idiom (generate_disparity.cpp:737-756) and constraint
 fixups (:759-775). Here a schema is data, a server owns a current config
 dataclass, and updates clamp -> fixup -> notify; the pipeline then
-re-jits only if a shape-affecting field changed, instead of the
-reference's full engine rebuild per setter (I3DRSGM.cpp:630-654).
+re-jits only if a shape-affecting field changed — numeric params
+(p1/p2, uniqueness, texture, speckle diff, backmatch dist, depth
+bounds) are TRACED arguments of the compiled step
+(StereoPipeline.DYN_FIELDS), so tuning them costs nothing, instead of
+the reference's full engine rebuild per setter (I3DRSGM.cpp:630-654).
+:func:`bind_pipeline` wires a server to a running StereoPipeline.
 """
 
 from __future__ import annotations
@@ -173,6 +177,42 @@ def apply_cloud_params(cloud: PointCloudConfig, flat: Dict[str, Any]) -> PointCl
         if k in flat:
             kw[k] = flat[k]
     return dataclasses.replace(cloud, **kw)
+
+
+_CLOUD_KEYS = ("depth_max", "depth_min", "save_points_as_binary")
+
+
+def bind_pipeline(pipe, include_cloud: bool = True) -> ReconfigureServer:
+    """One live reconfigure server driving a running StereoPipeline —
+    the rqt_reconfigure analog (launch/stereo_matcher.launch:209).
+
+    Flat reference-named updates map onto the pipeline's typed config;
+    only CHANGED keys are applied (the first-callback-writes-back
+    direction: the pipeline's current values seed the server, schema
+    defaults never overwrite the node). Changes confined to
+    StereoPipeline.DYN_FIELDS + depth bounds reuse the compiled step.
+    """
+    schema = list(DISPARITY_SCHEMA) + (list(POINTCLOUD_SCHEMA)
+                                       if include_cloud else [])
+    initial: Dict[str, Any] = {}
+    for flat_name, field in _FLAT_TO_CFG.items():
+        v = getattr(pipe.config, field)
+        initial[flat_name] = int(v) if flat_name == "stereo_algorithm" else v
+    initial["fullDP"] = pipe.config.num_directions == 8
+    if include_cloud:
+        for k in _CLOUD_KEYS:
+            initial[k] = getattr(pipe.cloud, k)
+
+    def _cb(values: Dict[str, Any], changed: List[str]) -> None:
+        flat = {k: values[k] for k in changed
+                if k in _FLAT_TO_CFG or k == "fullDP"}
+        if flat:
+            pipe.config = apply_flat_params(pipe.config, flat)
+        cloud_kw = {k: values[k] for k in changed if k in _CLOUD_KEYS}
+        if cloud_kw:
+            pipe.update_cloud(**cloud_kw)
+
+    return ReconfigureServer(schema, callback=_cb, initial=initial)
 
 
 def apply_camera_params(s: CameraSettings, flat: Dict[str, Any]) -> CameraSettings:

@@ -230,7 +230,10 @@ def _up2(x: jax.Array, H: int, W: int) -> jax.Array:
 
 
 def belief_propagation_match(left, right, cfg: MatcherConfig, *,
-                             constant_space: bool) -> MatchResult:
+                             constant_space: bool, st=None) -> MatchResult:
+    # st: static gating shadow of cfg (see registry._postprocess); the BP
+    # gates only read int fields which stay static, so st is accepted for
+    # interface uniformity
     batched = left.ndim == 3
     l = left if batched else left[None]
     r = right if batched else right[None]
@@ -245,7 +248,7 @@ def belief_propagation_match(left, right, cfg: MatcherConfig, *,
         disp, ok = _constant_space_match(l, r, cfg)
         if cfg.speckle_size > 0:
             ok = speckle_filter(disp, ok, max_size=cfg.speckle_size,
-                                max_diff=float(max(cfg.speckle_range, 1.0)))
+                                max_diff=jnp.maximum(cfg.speckle_range, 1.0))
         res = MatchResult(disparity=disp, valid=ok)
         if not batched:
             res = MatchResult(disparity=res.disparity[0], valid=res.valid[0])
@@ -278,7 +281,7 @@ def belief_propagation_match(left, right, cfg: MatcherConfig, *,
                              uniqueness_ratio=0.0, subpixel=cfg.subpixel)
     if constant_space and cfg.speckle_size > 0:
         ok = speckle_filter(disp, ok, max_size=cfg.speckle_size,
-                            max_diff=float(max(cfg.speckle_range, 1.0)))
+                            max_diff=jnp.maximum(cfg.speckle_range, 1.0))
     res = MatchResult(disparity=disp, valid=ok)
     if not batched:
         res = MatchResult(disparity=res.disparity[0], valid=res.valid[0])

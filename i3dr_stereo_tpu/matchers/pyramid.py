@@ -95,10 +95,14 @@ def shifted_census_cost(cl: jax.Array, cr: jax.Array, offset: jax.Array,
     return C, valid
 
 
-def profile_from_config(cfg: MatcherConfig) -> SGMProfile:
+def profile_from_config(cfg: MatcherConfig, st=None) -> SGMProfile:
     """Build a pyramid schedule from the flat MatcherConfig (the path
     used when no .param profile was loaded): quick-profile shape with the
-    config's census/penalty/filter values on every level."""
+    config's census/penalty/filter values on every level.
+
+    ``st`` is the static shadow of cfg for structural gating (cfg's
+    numeric fields may be traced scalars under live reconfigure)."""
+    st = st or cfg
     n = max(1, int(cfg.max_pyramid_level))
     levels = []
     for lv in range(n - 1, -1, -1):
@@ -109,24 +113,25 @@ def profile_from_config(cfg: MatcherConfig) -> SGMProfile:
             num_disparities=31,
             census_w=cfg.census_width,
             census_h=cfg.census_height,
-            p1=(float(cfg.p1),) * 4,
-            p2=(float(cfg.p2),) * 4,
-            backmatch=cfg.backmatch_distance >= 0,
-            backmatch_dist=max(cfg.backmatch_distance, 0.0),
+            p1=(cfg.p1,) * 4,
+            p2=(cfg.p2,) * 4,
+            backmatch=st.backmatch_distance >= 0,
+            backmatch_dist=(cfg.backmatch_distance
+                            if st.backmatch_distance >= 0 else 0.0),
             median=cfg.median_filter,
             # speckle only on the finest level: intermediate levels
             # median-fill invalid pixels anyway, so per-level speckle
             # re-kills the same blobs at ~4x the cost (per-level control
             # stays available through .param profiles)
-            speckle=cfg.speckle_size > 0 and lv == 0,
-            speckle_max_diff=float(cfg.speckle_range),
+            speckle=st.speckle_size > 0 and lv == 0,
+            speckle_max_diff=cfg.speckle_range,
             speckle_max_region=cfg.speckle_size,
             subpixel=cfg.subpixel,
             interpolate_gaps=cfg.interp or cfg.interpolate_missing,
             interpolate_occlusions=cfg.occlusion_interp,
             occlusion_detection=cfg.occlusion_detection,
             prediction_shift=0.0,
-            uniqueness_ratio=float(cfg.uniqueness_ratio),
+            uniqueness_ratio=cfg.uniqueness_ratio,
             # the flat config's interp knob means the cv-style WLS chain
             # (cfg/i3DR_Disparity.cfg:38); engine .param profiles keep
             # their own "Interpolator Mode = Gauss"
@@ -136,10 +141,11 @@ def profile_from_config(cfg: MatcherConfig) -> SGMProfile:
 
 
 def pyramid_sgm_match(left, right, cfg: MatcherConfig,
-                      profile: Optional[SGMProfile] = None) -> MatchResult:
+                      profile: Optional[SGMProfile] = None,
+                      st=None) -> MatchResult:
     """Full coarse-to-fine match driven by a typed SGMProfile."""
     if profile is None:
-        profile = profile_from_config(cfg)
+        profile = profile_from_config(cfg, st)
     batched = left.ndim == 3
     l = (left if batched else left[None]).astype(jnp.float32)
     r = (right if batched else right[None]).astype(jnp.float32)
@@ -459,16 +465,33 @@ def _backmatch_check_true(disp, valid, bm, max_diff: float, K: int, *,
     return disp, valid & in_w & consistent
 
 
-def _roundtrip_check(disp: jax.Array, valid: jax.Array, max_diff: float):
-    """Backmatching approximation on the absolute map: d at the warped
-    column must agree with d at x (exact away from occlusions; the
-    engine's full backmatch computes a second DSI — see
-    "Compute Backmatching", quick.param)."""
+def _roundtrip_check(disp: jax.Array, valid: jax.Array, max_diff):
+    """Backmatching on the absolute map via an exact forward-splat right
+    map (the engine's "Compute Backmatching", quick.param).
+
+    The right view's disparity at column xr is the MAX disparity of any
+    left pixel landing there (nearest surface wins the z-buffer — a
+    scatter-max splat). Pixel x is consistent iff the surface visible at
+    its right column is its own: |d_R(x - round(d)) - d(x)| <= max_diff.
+
+    The previous form compared d(x) against d(x - round(d)) on the LEFT
+    map — a fronto-parallel approximation that mass-kills slanted
+    surfaces (error ~ d * |∇d|: a 2448-wide plane spanning 160 px of
+    disparity loses every pixel with d > ~25). The splat is exact for
+    any geometry: x itself always claims its right column, so only a
+    genuinely nearer surface (true occlusion) can evict it. Runs on the
+    XLA/lean paths; the fused_t path derives the true right WTA from its
+    cost volume instead (:func:`_backmatch_check_true`)."""
     B, H, W = disp.shape
     d_int = jnp.round(disp).astype(jnp.int32)
     xr = jnp.arange(W, dtype=jnp.int32)[None, None, :] - d_int
     in_img = (xr >= 0) & (xr < W)
     xr_c = jnp.clip(xr, 0, W - 1)
-    d_at_xr = jnp.take_along_axis(disp, xr_c, axis=2)
+    src = jnp.where(valid & in_img, disp, -1.0e9)
+    bi = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 0)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1)
+    d_right = jnp.full((B, H, W), -1.0e9, disp.dtype)
+    d_right = d_right.at[bi, yi, xr_c].max(src)
+    d_at_xr = jnp.take_along_axis(d_right, xr_c, axis=2)
     consistent = jnp.abs(d_at_xr - disp) <= max_diff
     return disp, valid & in_img & consistent

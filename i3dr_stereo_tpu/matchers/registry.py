@@ -83,14 +83,20 @@ def _cost_volume(left, right, cfg: MatcherConfig):
     return sad_cost_volume(lf, rf, cfg.min_disparity, cfg.disparity_range)
 
 
-def _postprocess(disp, valid, S, cfg: MatcherConfig, left):
-    """Shared post-match chain: LR check, speckle, median, hole fill."""
-    if cfg.disp12_max_diff >= 0 and cfg.algorithm != Algorithm.BM:
+def _postprocess(disp, valid, S, cfg: MatcherConfig, left, st=None):
+    """Shared post-match chain: LR check, speckle, median, hole fill.
+
+    ``st`` is the STATIC shadow of cfg for structural gating: cfg's
+    numeric fields may be traced scalars under live reconfigure
+    (StereoPipeline passes both), and tracers cannot drive python
+    control flow. Direct callers leave st=None (cfg is plain)."""
+    st = st or cfg
+    if st.disp12_max_diff >= 0 and st.algorithm != Algorithm.BM:
         disp, valid = lr_consistency(disp, valid, S, cfg.min_disparity,
-                                     float(cfg.disp12_max_diff) if cfg.disp12_max_diff > 0 else 1.0)
-    if cfg.speckle_size > 0:
+                                     cfg.disp12_max_diff if st.disp12_max_diff > 0 else 1.0)
+    if st.speckle_size > 0:
         valid = speckle_filter(disp, valid, max_size=cfg.speckle_size,
-                               max_diff=float(cfg.speckle_range),
+                               max_diff=cfg.speckle_range,
                                downsample=cfg.speckle_downsample)
     if cfg.median_filter:
         disp = median3x3_masked(disp, valid)
@@ -101,10 +107,11 @@ def _postprocess(disp, valid, S, cfg: MatcherConfig, left):
     return disp, valid
 
 
-def bm_match(left, right, cfg: MatcherConfig) -> MatchResult:
+def bm_match(left, right, cfg: MatcherConfig, st=None) -> MatchResult:
     """Block matching (cv::StereoBM semantics, matcherOpenCVBlock.cpp):
     x-Sobel prefilter, SAD over the correlation window, WTA with
     texture + uniqueness checks, speckle filter, x16-grade subpixel."""
+    st = st or cfg
     l, batched = _batched(left)
     r = right if right.ndim == 3 else right[None]
     if cfg.prefilter_type == "normalized_response":
@@ -120,14 +127,14 @@ def bm_match(left, right, cfg: MatcherConfig) -> MatchResult:
     C, valid_cv = sad_cost_volume(pref_l, pref_r, cfg.min_disparity, cfg.disparity_range)
     S = box_aggregate(C, valid_cv, cfg.window_size)
     disp, valid = wta_disparity(S, cfg.min_disparity,
-                                uniqueness_ratio=float(cfg.uniqueness_ratio),
+                                uniqueness_ratio=cfg.uniqueness_ratio,
                                 subpixel=cfg.subpixel)
-    if cfg.texture_threshold > 0:
+    if st.texture_threshold > 0:
         tex = texture_response(pref_l, cfg.window_size, cfg.prefilter_cap)
         valid = valid & (tex >= cfg.texture_threshold * cfg.window_size)
-    if cfg.speckle_size > 0:
+    if st.speckle_size > 0:
         valid = speckle_filter(disp, valid, max_size=cfg.speckle_size,
-                               max_diff=float(cfg.speckle_range),
+                               max_diff=cfg.speckle_range,
                                downsample=cfg.speckle_downsample)
     if cfg.interp:
         disp, valid = _interp_backward_wls(disp, valid, S, cfg, l)
@@ -136,11 +143,12 @@ def bm_match(left, right, cfg: MatcherConfig) -> MatchResult:
     return _unbatch(MatchResult(disparity=disp, valid=valid), batched)
 
 
-def sgbm_match(left, right, cfg: MatcherConfig) -> MatchResult:
+def sgbm_match(left, right, cfg: MatcherConfig, st=None) -> MatchResult:
     """Semi-global block matching (cv::StereoSGBM semantics,
     matcherOpenCVSGBM.cpp): BT costs on the prefiltered pair, block sum,
     N-path aggregation, uniqueness + LR + speckle, parabolic subpixel.
     ``fullDP``/num_directions=8 corresponds to MODE_HH."""
+    st = st or cfg
     l, batched = _batched(left)
     r = right if right.ndim == 3 else right[None]
 
@@ -160,50 +168,78 @@ def sgbm_match(left, right, cfg: MatcherConfig) -> MatchResult:
         rp = jnp.pad(rp, ((0, 0), (0, H8 - H), (0, W8 - W)), mode="edge")
         S, C = fused_bt_sgm(lp, rp, cfg.disparity_range,
                             min_disp=cfg.min_disparity,
-                            p1=float(cfg.p1), p2=float(cfg.p2),
+                            p1=cfg.p1, p2=cfg.p2,
                             directions=_directions(cfg),
                             interpret=_backend() == "pallas_interpret")
         S = S[:, :H, :W]
         C = C[:, :H, :W]
         disp, valid = wta_disparity(S, cfg.min_disparity,
-                                    uniqueness_ratio=float(cfg.uniqueness_ratio),
+                                    uniqueness_ratio=cfg.uniqueness_ratio,
                                     subpixel=cfg.subpixel)
         valid = valid & (jnp.min(C, axis=-1) < 255)
-        disp, valid = _postprocess(disp, valid, S.astype(jnp.float32), cfg, l)
+        disp, valid = _postprocess(disp, valid, S.astype(jnp.float32), cfg, l,
+                                   st)
         return _unbatch(MatchResult(disparity=disp, valid=valid), batched)
 
     C, valid_cv = _cost_volume(l, r, cfg)
     C = box_aggregate(C, valid_cv, cfg.window_size)
-    S = sgm_aggregate(C, float(cfg.p1), float(cfg.p2), _directions(cfg))
+    S = sgm_aggregate(C, cfg.p1, cfg.p2, _directions(cfg))
     disp, valid = wta_disparity(S, cfg.min_disparity,
-                                uniqueness_ratio=float(cfg.uniqueness_ratio),
+                                uniqueness_ratio=cfg.uniqueness_ratio,
                                 subpixel=cfg.subpixel)
-    disp, valid = _postprocess(disp, valid, S, cfg, l)
+    disp, valid = _postprocess(disp, valid, S, cfg, l, st)
     return _unbatch(MatchResult(disparity=disp, valid=valid), batched)
 
 
-def i3drsgm_match(left, right, cfg: MatcherConfig) -> MatchResult:
+def i3drsgm_match(left, right, cfg: MatcherConfig, st=None) -> MatchResult:
     """Census SGM with the Phobos-profile feature set
     (ini/quick.param): census window, 4 path directions with additive
     penalties, backmatching check, speckle(0.5, 100), median 3x3.
     With cfg.pyramid the coarse-to-fine schedule of
     :mod:`i3dr_stereo_tpu.matchers.pyramid` runs instead."""
-    if cfg.pyramid:
+    st = st or cfg
+    if st.pyramid:
         from i3dr_stereo_tpu.matchers.pyramid import pyramid_sgm_match
-        return pyramid_sgm_match(left, right, cfg)
+        return pyramid_sgm_match(left, right, cfg, st=st)
+    if st.disparity_range > 64:
+        from i3dr_stereo_tpu.ops.sgm_dispatch import _backend
+
+        if _backend().startswith("pallas"):
+            # The dense single-pass kernels top out at D=64 (VMEM block
+            # is WC x D x 128, ops/sgm_fused_t.py); brute-forcing 256
+            # disparities runs ~16x below the production rate. The
+            # engine's own route to wide ranges IS the pyramid (31
+            # disparities/level, ini/quick.param:128) — take it, loudly.
+            import math
+            import warnings
+
+            n = max(2, math.ceil(math.log2(max(st.disparity_range, 32)
+                                           / 31.0)) + 1)
+            warnings.warn(
+                f"disparity_range={st.disparity_range} exceeds the dense "
+                f"kernels' D<=64 ceiling; falling back to the pyramid "
+                f"schedule ({n} levels — the engine's route to wide "
+                f"ranges). Set pyramid=True to choose this explicitly, "
+                f"or disparity_range<=64 for the dense path.",
+                stacklevel=2)
+            from i3dr_stereo_tpu.matchers.pyramid import pyramid_sgm_match
+
+            return pyramid_sgm_match(
+                left, right, cfg.replace(pyramid=True, max_pyramid_level=n),
+                st=st.replace(pyramid=True, max_pyramid_level=n))
     l, batched = _batched(left)
     r = right if right.ndim == 3 else right[None]
     C, valid_cv = _cost_volume(l, r, cfg)
-    S = sgm_aggregate(C, float(cfg.p1), float(cfg.p2), _directions(cfg))
+    S = sgm_aggregate(C, cfg.p1, cfg.p2, _directions(cfg))
     disp, valid = wta_disparity(S, cfg.min_disparity,
-                                uniqueness_ratio=float(cfg.uniqueness_ratio),
+                                uniqueness_ratio=cfg.uniqueness_ratio,
                                 subpixel=cfg.subpixel)
-    if cfg.backmatch_distance >= 0:
+    if st.backmatch_distance >= 0:
         disp, valid = lr_consistency(disp, valid, S, cfg.min_disparity,
-                                     float(cfg.backmatch_distance))
-    if cfg.speckle_size > 0:
+                                     cfg.backmatch_distance)
+    if st.speckle_size > 0:
         valid = speckle_filter(disp, valid, max_size=cfg.speckle_size,
-                               max_diff=float(cfg.speckle_range),
+                               max_diff=cfg.speckle_range,
                                downsample=cfg.speckle_downsample)
     if cfg.median_filter:
         disp = median3x3_masked(disp, valid)
@@ -212,19 +248,21 @@ def i3drsgm_match(left, right, cfg: MatcherConfig) -> MatchResult:
     return _unbatch(MatchResult(disparity=disp, valid=valid), batched)
 
 
-def bp_match(left, right, cfg: MatcherConfig) -> MatchResult:
+def bp_match(left, right, cfg: MatcherConfig, st=None) -> MatchResult:
     """Hierarchical min-sum belief propagation
     (cv::cuda::StereoBeliefPropagation analog, matcherOpenCVBPCuda.cpp)."""
     from i3dr_stereo_tpu.matchers.bp import belief_propagation_match
-    return belief_propagation_match(left, right, cfg, constant_space=False)
+    return belief_propagation_match(left, right, cfg, constant_space=False,
+                                    st=st)
 
 
-def csbp_match(left, right, cfg: MatcherConfig) -> MatchResult:
+def csbp_match(left, right, cfg: MatcherConfig, st=None) -> MatchResult:
     """Constant-space BP (cv::cuda::StereoConstantSpaceBP analog,
     matcherOpenCVCSBPCuda.cpp): coarse-to-fine with a shrinking
     per-level disparity candidate set."""
     from i3dr_stereo_tpu.matchers.bp import belief_propagation_match
-    return belief_propagation_match(left, right, cfg, constant_space=True)
+    return belief_propagation_match(left, right, cfg, constant_space=True,
+                                    st=st)
 
 
 MATCHER_REGISTRY = {

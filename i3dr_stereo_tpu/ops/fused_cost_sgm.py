@@ -68,10 +68,12 @@ def _pick_wc(W: int, cap: int = 256) -> int:
     return best if best is not None else W
 
 
-def _fused_fwd_kernel(base_ref, *refs, p1, p2, W, WC, D, NW, min_disp,
+def _fused_fwd_kernel(base_ref, pp_ref, *refs, W, WC, D, NW, min_disp,
                       out_dtype, padded_w):
     """refs = cl word refs (NW) + cr_rev word refs (NW) + c_out + s_out
-    + carry/c_buf/s_buf scratch. Grid (B, H/TH, W/WC), W sequential."""
+    + carry/c_buf/s_buf scratch. Grid (B, H/TH, W/WC), W sequential.
+    pp_ref: (2,) scalar-prefetch — (P1, P2) runtime scalars."""
+    p1, p2 = pp_ref[0], pp_ref[1]
     cl_refs = refs[:NW]
     cr_refs = refs[NW:2 * NW]
     c_out, s_out = refs[2 * NW], refs[2 * NW + 1]
@@ -132,10 +134,10 @@ def _fused_fwd_kernel(base_ref, *refs, p1, p2, W, WC, D, NW, min_disp,
     carry_ref[:] = jax.lax.fori_loop(0, WC // XG, body, carry_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("D", "p1", "p2", "min_disp",
+@functools.partial(jax.jit, static_argnames=("D", "min_disp",
                                              "out_dtype", "th", "interpret"))
 def fused_census_horizontal(cl_words: jax.Array, cr_words: jax.Array,
-                            base: jax.Array, D: int, p1: float, p2: float,
+                            base: jax.Array, D: int, p1, p2,
                             min_disp: int = 0, out_dtype=jnp.int16,
                             th: int = 8, interpret: bool = False
                             ) -> Tuple[jax.Array, jax.Array]:
@@ -161,7 +163,7 @@ def fused_census_horizontal(cl_words: jax.Array, cr_words: jax.Array,
 
     wc = _pick_wc(W)
 
-    kern = functools.partial(_fused_fwd_kernel, p1=p1, p2=p2, W=W, WC=wc,
+    kern = functools.partial(_fused_fwd_kernel, W=W, WC=wc,
                              D=D, NW=NW, min_disp=min_disp,
                              out_dtype=out_dtype, padded_w=padded_w)
 
@@ -169,15 +171,15 @@ def fused_census_horizontal(cl_words: jax.Array, cr_words: jax.Array,
     # 3D row-plane blocks must span the full W (the lane dim of a 3D
     # block cannot be chunked unless it is a multiple of 128, and image
     # widths rarely are) — rows are small, so full-width is cheap.
-    cl_spec = pl.BlockSpec((1, th, wl), lambda b, i, j, base_r: (b, i, 0),
+    cl_spec = pl.BlockSpec((1, th, wl), lambda b, i, j, *sr: (b, i, 0),
                            memory_space=pltpu.VMEM)
-    cr_spec = pl.BlockSpec((1, th, padded_w), lambda b, i, j, base_r: (b, i, 0),
+    cr_spec = pl.BlockSpec((1, th, padded_w), lambda b, i, j, *sr: (b, i, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, th, wc, D), lambda b, i, j, base_r: (b, i, j, 0),
+    out_spec = pl.BlockSpec((1, th, wc, D), lambda b, i, j, *sr: (b, i, j, 0),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, H // th, W // wc),
         in_specs=[cl_spec] * NW + [cr_spec] * NW,
         out_specs=[out_spec, out_spec],
@@ -189,6 +191,8 @@ def fused_census_horizontal(cl_words: jax.Array, cr_words: jax.Array,
     base = jnp.asarray(base, dtype=jnp.int32)
     if base.ndim == 2:
         base = base[0]  # same per-tile layout across the batch
+    pp = jnp.stack([jnp.asarray(p1, jnp.float32),
+                    jnp.asarray(p2, jnp.float32)])
 
     C, S = pl.pallas_call(
         kern,
@@ -196,7 +200,7 @@ def fused_census_horizontal(cl_words: jax.Array, cr_words: jax.Array,
         out_shape=[jax.ShapeDtypeStruct((B, H, W, D), jnp.uint8),
                    jax.ShapeDtypeStruct((B, H, W, D), out_dtype)],
         interpret=interpret,
-    )(base, *cl_words, *cr_rev)
+    )(base, pp, *cl_words, *cr_rev)
     return C, S
 
 
@@ -209,8 +213,8 @@ def census_word_planes(census: jax.Array) -> jax.Array:
 # Birchfield–Tomasi variant (the SGBM-family cost), same no-gather trick
 # ---------------------------------------------------------------------------
 
-def _fused_bt_kernel(base_ref, l_ref, llo_ref, lhi_ref, r_ref, c_out, s_out,
-                     carry_ref, c_buf, s_buf, *, p1, p2, W, WC, D, min_disp,
+def _fused_bt_kernel(base_ref, pp_ref, l_ref, llo_ref, lhi_ref, r_ref, c_out,
+                     s_out, carry_ref, c_buf, s_buf, *, W, WC, D, min_disp,
                      out_dtype, padded_w):
     """Pixelwise BT cost computed on the fly from the reversed right row.
 
@@ -219,6 +223,7 @@ def _fused_bt_kernel(base_ref, l_ref, llo_ref, lhi_ref, r_ref, c_out, s_out,
     from a D+2 slice (neighbours in the reversed row are the +-1 pixels
     of the source row).
     """
+    p1, p2 = pp_ref[0], pp_ref[1]
     chunk = pl.program_id(2)
     tile = pl.program_id(1)
     base = base_ref[tile]
@@ -277,10 +282,10 @@ def _fused_bt_kernel(base_ref, l_ref, llo_ref, lhi_ref, r_ref, c_out, s_out,
     carry_ref[:] = jax.lax.fori_loop(0, WC // XG, body, carry_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("D", "p1", "p2", "min_disp",
+@functools.partial(jax.jit, static_argnames=("D", "min_disp",
                                              "out_dtype", "th", "interpret"))
 def fused_bt_horizontal(left: jax.Array, right: jax.Array, base: jax.Array,
-                        D: int, p1: float, p2: float, min_disp: int = 0,
+                        D: int, p1, p2, min_disp: int = 0,
                         out_dtype=jnp.int16, th: int = 8,
                         interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """BT-cost counterpart of fused_census_horizontal.
@@ -310,17 +315,17 @@ def fused_bt_horizontal(left: jax.Array, right: jax.Array, base: jax.Array,
 
     wc = _pick_wc(W)
 
-    kern = functools.partial(_fused_bt_kernel, p1=p1, p2=p2, W=W, WC=wc, D=D,
+    kern = functools.partial(_fused_bt_kernel, W=W, WC=wc, D=D,
                              min_disp=min_disp, out_dtype=out_dtype,
                              padded_w=padded_w)
-    l_spec = pl.BlockSpec((1, th, wl), lambda b, i, j, s: (b, i, 0),
+    l_spec = pl.BlockSpec((1, th, wl), lambda b, i, j, *sr: (b, i, 0),
                           memory_space=pltpu.VMEM)
-    r_spec = pl.BlockSpec((1, th, padded_w), lambda b, i, j, s: (b, i, 0),
+    r_spec = pl.BlockSpec((1, th, padded_w), lambda b, i, j, *sr: (b, i, 0),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, th, wc, D), lambda b, i, j, s: (b, i, j, 0),
+    out_spec = pl.BlockSpec((1, th, wc, D), lambda b, i, j, *sr: (b, i, j, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, H // th, W // wc),
         in_specs=[l_spec, l_spec, l_spec, r_spec],
         out_specs=[out_spec, out_spec],
@@ -331,13 +336,15 @@ def fused_bt_horizontal(left: jax.Array, right: jax.Array, base: jax.Array,
     base = jnp.asarray(base, dtype=jnp.int32)
     if base.ndim == 2:
         base = base[0]
+    pp = jnp.stack([jnp.asarray(p1, jnp.float32),
+                    jnp.asarray(p2, jnp.float32)])
     C, S = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, H, W, D), jnp.uint8),
                    jax.ShapeDtypeStruct((B, H, W, D), out_dtype)],
         interpret=interpret,
-    )(base, left, llo, lhi, r_rev)
+    )(base, pp, left, llo, lhi, r_rev)
     return C, S
 
 
@@ -418,6 +425,7 @@ def fused_census_sgm(cl_census: jax.Array, cr_census: jax.Array, D: int,
         _HORIZ,
         _TOPDOWN,
         _horizontal_pass,
+        _pen_key,
         _vertical_pass,
         _vmem_ok_vertical,
     )
@@ -440,7 +448,7 @@ def fused_census_sgm(cl_census: jax.Array, cr_census: jax.Array, D: int,
     assert (0, 1) in directions, "fused path needs the W->E direction"
     pf1, pf2 = pen[(0, 1)]
     C, S_fwd = fused_census_horizontal(clw, crw, base_arr, D,
-                                       float(pf1), float(pf2),
+                                       pf1, pf2,
                                        min_disp=min_disp, out_dtype=out_dtype,
                                        th=th, interpret=interpret)
     acc = S_fwd.astype(jnp.int32) if out_dtype != jnp.float32 else S_fwd
@@ -451,7 +459,7 @@ def fused_census_sgm(cl_census: jax.Array, cr_census: jax.Array, D: int,
 
     if (0, -1) in directions:
         pp1, pp2 = pen[(0, -1)]
-        add(_horizontal_pass(C, float(pp1), float(pp2), forward=False,
+        add(_horizontal_pass(C, pp1, pp2, forward=False,
                              sentinel=True, out_dtype=out_dtype,
                              interpret=interpret))
     for family, reverse in ((_TOPDOWN, False), (_BOTTOMUP, True)):
@@ -460,16 +468,17 @@ def fused_census_sgm(cl_census: jax.Array, cr_census: jax.Array, D: int,
             continue
         groups = {}
         for d in fam:
-            groups.setdefault(pen[d], []).append(d)
-        for (pp1, pp2), ds in groups.items():
+            groups.setdefault(_pen_key(pen[d]), []).append(d)
+        for key, ds in groups.items():
+            pp1, pp2 = pen[ds[0]]
             shifts = tuple(d[1] for d in ds)
             if _vmem_ok_vertical(W, D, len(shifts), 1):
-                add(_vertical_pass(C, float(pp1), float(pp2), shifts, reverse,
+                add(_vertical_pass(C, pp1, pp2, shifts, reverse,
                                    sentinel=True, out_dtype=out_dtype,
                                    interpret=interpret))
             else:
                 for sh in shifts:
-                    add(_vertical_pass(C, float(pp1), float(pp2), (sh,),
+                    add(_vertical_pass(C, pp1, pp2, (sh,),
                                        reverse, sentinel=True,
                                        out_dtype=out_dtype,
                                        interpret=interpret))

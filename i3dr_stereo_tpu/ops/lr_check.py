@@ -35,7 +35,7 @@ def right_cost_volume(S: jax.Array, min_disparity: int = 0) -> jax.Array:
     return out if batched else out[0]
 
 
-@partial(jax.jit, static_argnames=("min_disparity", "max_diff"))
+@partial(jax.jit, static_argnames=("min_disparity",))
 def lr_consistency(disp: jax.Array, valid: jax.Array, S: jax.Array,
                    min_disparity: int = 0, max_diff: float = 1.0,
                    ) -> tuple[jax.Array, jax.Array]:

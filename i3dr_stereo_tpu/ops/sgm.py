@@ -119,21 +119,23 @@ def _aggregate_one_direction(C: jax.Array, dy: int, dx: int,
     return jnp.moveaxis(Ls, 0, 1)
 
 
-@partial(jax.jit, static_argnames=("directions", "p1", "p2", "per_direction_penalties"))
-def sgm_aggregate(C: jax.Array, p1: float = 10.0, p2: float = 120.0,
+@partial(jax.jit, static_argnames=("directions",))
+def sgm_aggregate(C: jax.Array, p1=10.0, p2=120.0,
                   directions: Sequence[Tuple[int, int]] = DIRECTIONS_8,
-                  per_direction_penalties: Tuple[Tuple[float, float], ...] | None = None,
+                  per_direction_penalties=None,
                   ) -> jax.Array:
     """Sum of L_r over the requested path directions.
 
     ``per_direction_penalties`` optionally gives (P1, P2) per direction in
     the same order — the Phobos profile exposes per-direction penalties
     (quick.param "SN/SE-NW/SW-NE/WE Penalty 1/2"; I3DRSGM.cpp:307-358).
+    Penalties may be python floats or traced scalars (live reconfigure
+    without re-tracing).
     """
     batched = C.ndim == 4
     Cb = C if batched else C[None]
     S = jnp.zeros_like(Cb)
     for i, (dy, dx) in enumerate(directions):
         pp1, pp2 = (p1, p2) if per_direction_penalties is None else per_direction_penalties[i]
-        S = S + _aggregate_one_direction(Cb, dy, dx, float(pp1), float(pp2))
+        S = S + _aggregate_one_direction(Cb, dy, dx, pp1, pp2)
     return S if batched else S[0]

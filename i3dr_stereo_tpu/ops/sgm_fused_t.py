@@ -89,7 +89,10 @@ def _prep_geometry(Wp: int, D: int, bpm: int, WC: int):
 # fused census cost + forward-horizontal sweep
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(*refs, NW, D, WC, TH, Wp, W_real, H_real, bpm, p1, p2):
+def _fwd_kernel(pp_ref, *refs, NW, D, WC, TH, Wp, W_real, H_real, bpm):
+    # pp_ref: (2,) SMEM — (p1, p2) as runtime scalars so live reconfigure
+    # of the penalties never re-compiles the kernel
+    p1, p2 = pp_ref[0], pp_ref[1]
     cl_refs = refs[:NW]
     crA = refs[NW:2 * NW]
     crB = refs[2 * NW:3 * NW]
@@ -144,9 +147,9 @@ def _fwd_kernel(*refs, NW, D, WC, TH, Wp, W_real, H_real, bpm, p1, p2):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "D", "p1", "p2", "bpm", "W_real", "H_real", "interpret"))
+    "D", "bpm", "W_real", "H_real", "interpret"))
 def fused_census_fwd_t(clw: jax.Array, crw: jax.Array, D: int,
-                       p1: float, p2: float, *, bpm: int,
+                       p1, p2, *, bpm: int,
                        W_real: int, H_real: int,
                        interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Cost volume + forward-horizontal L in one pass (transposed layout).
@@ -168,8 +171,10 @@ def fused_census_fwd_t(clw: jax.Array, crw: jax.Array, D: int,
     k_hi = (offp + Wp) // WC  # block above the chunk-j window
 
     kern = functools.partial(_fwd_kernel, NW=NW, D=D, WC=WC, TH=TH, Wp=Wp,
-                             W_real=W_real, H_real=H_real, bpm=bpm,
-                             p1=float(p1), p2=float(p2))
+                             W_real=W_real, H_real=H_real, bpm=bpm)
+    pp = jnp.stack([jnp.asarray(p1, jnp.float32),
+                    jnp.asarray(p2, jnp.float32)])
+    pp_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     cl_spec = pl.BlockSpec((1, WC, TH), lambda b, i, j: (b, j, i),
                            memory_space=pltpu.VMEM)
     crA_spec = pl.BlockSpec((1, WC, TH), lambda b, i, j: (b, k_hi - 1 - j, i),
@@ -181,14 +186,15 @@ def fused_census_fwd_t(clw: jax.Array, crw: jax.Array, D: int,
     C, S = pl.pallas_call(
         kern,
         grid=(B, Hp // TH, Wp // WC),
-        in_specs=[cl_spec] * NW + [crA_spec] * NW + [crB_spec] * NW,
+        in_specs=[pp_spec] + [cl_spec] * NW + [crA_spec] * NW
+        + [crB_spec] * NW,
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((B, Wp, D, Hp), jnp.uint8),
                    jax.ShapeDtypeStruct((B, Wp, D, Hp), jnp.int16)],
         scratch_shapes=[pltpu.VMEM((D, TH), jnp.float32)]
         + [pltpu.VMEM((2 * WC, TH), jnp.uint32) for _ in range(NW)],
         interpret=interpret,
-    )(*clw, *crv, *crv)
+    )(pp, *clw, *crv, *crv)
     return C, S
 
 
@@ -196,7 +202,8 @@ def fused_census_fwd_t(clw: jax.Array, crw: jax.Array, D: int,
 # reverse-horizontal sweep, fused with the fwd+rev sum
 # ---------------------------------------------------------------------------
 
-def _rev_kernel(c_ref, sf_ref, out_ref, carry_ref, *, D, WC, TH, p1, p2):
+def _rev_kernel(pp_ref, c_ref, sf_ref, out_ref, carry_ref, *, D, WC, TH):
+    p1, p2 = pp_ref[0], pp_ref[1]
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -218,27 +225,28 @@ def _rev_kernel(c_ref, sf_ref, out_ref, carry_ref, *, D, WC, TH, p1, p2):
     carry_ref[:] = jax.lax.fori_loop(0, WC // 8, group, carry_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("p1", "p2", "interpret"))
-def hsweep_rev_sum_t(C: jax.Array, S_fwd: jax.Array, p1: float, p2: float,
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hsweep_rev_sum_t(C: jax.Array, S_fwd: jax.Array, p1, p2,
                      *, interpret: bool = False) -> jax.Array:
     """Reverse-horizontal L + S_fwd in one pass -> S_h int16 (B, Wp, D, Hp)."""
     B, Wp, D, Hp = C.shape
     TH = 128
     WC = _pick_wc(Wp, D)
     nj = Wp // WC
-    kern = functools.partial(_rev_kernel, D=D, WC=WC, TH=TH,
-                             p1=float(p1), p2=float(p2))
+    kern = functools.partial(_rev_kernel, D=D, WC=WC, TH=TH)
+    pp = jnp.stack([jnp.asarray(p1, jnp.float32),
+                    jnp.asarray(p2, jnp.float32)])
     spec = pl.BlockSpec((1, WC, D, TH), lambda b, i, j: (b, nj - 1 - j, 0, i),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=(B, Hp // TH, nj),
-        in_specs=[spec, spec],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, Wp, D, Hp), jnp.int16),
         scratch_shapes=[pltpu.VMEM((D, TH), jnp.float32)],
         interpret=interpret,
-    )(C, S_fwd)
+    )(pp, C, S_fwd)
 
 
 # ---------------------------------------------------------------------------
@@ -255,7 +263,8 @@ def _shift_carry(prev, dx, Wp):
     return jnp.where(liota == edge, 0.0, rolled)
 
 
-def _vdown_kernel(c_ref, out_ref, *carries, shifts, pens, D, Wp, RB):
+def _vdown_kernel(pens_ref, c_ref, out_ref, *carries, shifts, D, Wp, RB):
+    # pens_ref: (n_dirs, 2) SMEM — per-direction (P1, P2) runtime scalars
     blk = pl.program_id(1)
 
     @pl.when(blk == 0)
@@ -267,7 +276,8 @@ def _vdown_kernel(c_ref, out_ref, *carries, shifts, pens, D, Wp, RB):
         ci = c_ref[0, r].astype(jnp.int32)
         c = jnp.where(ci == U8_SENTINEL, BIG, ci.astype(jnp.float32))
         total = None
-        for cr, sh, (p1, p2) in zip(carries, shifts, pens):
+        for di, (cr, sh) in enumerate(zip(carries, shifts)):
+            p1, p2 = pens_ref[di, 0], pens_ref[di, 1]
             L = _step_t(_shift_carry(cr[:], sh, Wp), c, p1, p2, D)
             cr[:] = L
             part = jnp.minimum(L, CLAMP)
@@ -282,30 +292,41 @@ def _pick_rb(Hp: int) -> int:
     return max(rb, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("shifts", "pens", "interpret"))
+def _pens_arr(pens) -> jax.Array:
+    """(n, 2) float32 penalty array from a sequence of (p1, p2) pairs
+    (python floats or traced scalars)."""
+    rows = [jnp.stack([jnp.asarray(p1, jnp.float32),
+                       jnp.asarray(p2, jnp.float32)]) for p1, p2 in pens]
+    return jnp.stack(rows)
+
+
+@functools.partial(jax.jit, static_argnames=("shifts", "interpret"))
 def vsweep_down_t(C_T: jax.Array, shifts: Tuple[int, ...],
-                  pens: Tuple[Tuple[float, float], ...],
+                  pens,
                   *, interpret: bool = False) -> jax.Array:
     """Top-down sweep over (B, Hp, D, Wp); diagonals = lane shifts."""
     B, Hp, D, Wp = C_T.shape
     RB = _pick_rb(Hp)
-    kern = functools.partial(_vdown_kernel, shifts=shifts, pens=pens,
+    kern = functools.partial(_vdown_kernel, shifts=shifts,
                              D=D, Wp=Wp, RB=RB)
     spec = pl.BlockSpec((1, RB, D, Wp), lambda b, i: (b, i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=(B, Hp // RB),
-        in_specs=[spec],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(C_T.shape, jnp.int16),
         scratch_shapes=[pltpu.VMEM((D, Wp), jnp.float32) for _ in shifts],
         interpret=interpret,
-    )(C_T)
+    )(_pens_arr(pens), C_T)
 
 
-def _vup_wta_kernel(c_ref, sh_ref, sd_ref, disp_ref, *carries, shifts, pens,
-                    D, Wp, RB, subpixel, uniqueness_ratio):
+def _vup_wta_kernel(pens_ref, c_ref, sh_ref, sd_ref, disp_ref, *carries,
+                    shifts, D, Wp, RB, subpixel):
+    # pens_ref: (n_dirs + 1, 2) SMEM — per-direction (P1, P2) plus a final
+    # (uniqueness_ratio, 0) row, all runtime scalars (live-reconfigurable)
+    ur = pens_ref[len(shifts), 0]
     blk = pl.program_id(1)
 
     @pl.when(blk == 0)
@@ -319,7 +340,8 @@ def _vup_wta_kernel(c_ref, sh_ref, sd_ref, disp_ref, *carries, shifts, pens,
         cmin = jnp.min(ci, axis=0, keepdims=True)
         S = (sh_ref[0, r].astype(jnp.int32)
              + sd_ref[0, r].astype(jnp.int32)).astype(jnp.float32)
-        for cr, sh, (p1, p2) in zip(carries, shifts, pens):
+        for di, (cr, sh) in enumerate(zip(carries, shifts)):
+            p1, p2 = pens_ref[di, 0], pens_ref[di, 1]
             L = _step_t(_shift_carry(cr[:], sh, Wp), c, p1, p2, D)
             cr[:] = L
             S = S + jnp.minimum(L, CLAMP)
@@ -328,10 +350,12 @@ def _vup_wta_kernel(c_ref, sh_ref, sd_ref, disp_ref, *carries, shifts, pens,
         m = jnp.min(S, axis=0, keepdims=True)                            # (1,Wp)
         db = jnp.min(jnp.where(S == m, diota, D), axis=0, keepdims=True)
         valid = (m < 9999.0) & (cmin < U8_SENTINEL)
-        if uniqueness_ratio > 0.0:
-            far = jnp.abs(diota - db) > 1
-            min_far = jnp.min(jnp.where(far, S, BIG), axis=0, keepdims=True)
-            valid = valid & (min_far * (100.0 - uniqueness_ratio) >= m * 100.0)
+        # uniqueness is a runtime scalar: always evaluated, no-op at <= 0
+        # (a cross-sublane min per row — noise next to the sweep itself)
+        far = jnp.abs(diota - db) > 1
+        min_far = jnp.min(jnp.where(far, S, BIG), axis=0, keepdims=True)
+        valid = valid & ((ur <= 0.0)
+                         | (min_far * (100.0 - ur) >= m * 100.0))
         disp = db.astype(jnp.float32)
         if subpixel:
             onehot = diota == db
@@ -351,20 +375,23 @@ def _vup_wta_kernel(c_ref, sh_ref, sd_ref, disp_ref, *carries, shifts, pens,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "shifts", "pens", "subpixel", "uniqueness_ratio", "interpret"))
+    "shifts", "subpixel", "interpret"))
 def vsweep_up_wta_t(C_T: jax.Array, S_hT: jax.Array, S_down: jax.Array,
                     shifts: Tuple[int, ...],
-                    pens: Tuple[Tuple[float, float], ...],
-                    *, subpixel: bool = True, uniqueness_ratio: float = 0.0,
+                    pens,
+                    *, subpixel: bool = True, uniqueness_ratio=0.0,
                     interpret: bool = False) -> jax.Array:
     """Bottom-up sweep + full-sum WTA. Returns (B, Hp, Wp) float32
     residual disparities with NODATA at invalid pixels."""
     B, Hp, D, Wp = C_T.shape
     RB = _pick_rb(Hp)
     nb = Hp // RB
-    kern = functools.partial(_vup_wta_kernel, shifts=shifts, pens=pens,
-                             D=D, Wp=Wp, RB=RB, subpixel=subpixel,
-                             uniqueness_ratio=float(uniqueness_ratio))
+    kern = functools.partial(_vup_wta_kernel, shifts=shifts,
+                             D=D, Wp=Wp, RB=RB, subpixel=subpixel)
+    pp = jnp.concatenate(
+        [_pens_arr(pens),
+         jnp.stack([jnp.asarray(uniqueness_ratio, jnp.float32),
+                    jnp.float32(0.0)])[None]])
     spec = pl.BlockSpec((1, RB, D, Wp), lambda b, i: (b, nb - 1 - i, 0, 0),
                         memory_space=pltpu.VMEM)
     # (B, Hp, 1, Wp) keeps the last-two block dims tile-legal
@@ -373,12 +400,12 @@ def vsweep_up_wta_t(C_T: jax.Array, S_hT: jax.Array, S_down: jax.Array,
     out = pl.pallas_call(
         kern,
         grid=(B, nb),
-        in_specs=[spec, spec, spec],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec, spec, spec],
         out_specs=disp_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hp, 1, Wp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((D, Wp), jnp.float32) for _ in shifts],
         interpret=interpret,
-    )(C_T, S_hT, S_down)
+    )(pp, C_T, S_hT, S_down)
     return out[:, :, 0, :]
 
 
@@ -388,14 +415,18 @@ def vsweep_up_wta_t(C_T: jax.Array, S_hT: jax.Array, S_down: jax.Array,
 
 def census_sgm_wta_t(clw: jax.Array, crw: jax.Array, D: int, *,
                      bpm: int, W_real: int, H_real: int,
-                     pens=None, p1: float = 10.0, p2: float = 120.0,
+                     pens=None, p1=10.0, p2=120.0,
                      directions: int = 4, subpixel: bool = True,
-                     uniqueness_ratio: float = 0.0,
+                     uniqueness_ratio=0.0,
                      interpret: bool = False):
     """Full pipeline on transposed census words (NW, B, Wp, Hp).
 
     ``pens``: optional per-direction (P1, P2) in DIRECTIONS_4/8 order
     (the engine's per-direction penalties, I3DRSGM.cpp:307-358).
+    Penalties and uniqueness_ratio may be python floats OR traced
+    scalars — they reach the kernels as SMEM operands, so live tuning
+    never re-compiles (cf. the reference's engine rebuild per setter,
+    I3DRSGM.cpp:630-654).
     Returns ((B, Hp, Wp) disparity with NODATA marking invalid, C).
     Disparities are residual: absolute = bpm + value.
     """
@@ -404,8 +435,7 @@ def census_sgm_wta_t(clw: jax.Array, crw: jax.Array, D: int, *,
     dirs = DIRECTIONS_4 if directions == 4 else DIRECTIONS_8
     pen = {d: (p1, p2) for d in dirs}
     if pens is not None:
-        pen = {d: (float(pens[i][0]), float(pens[i][1]))
-               for i, d in enumerate(dirs)}
+        pen = {d: (pens[i][0], pens[i][1]) for i, d in enumerate(dirs)}
 
     pf = pen[(0, 1)]
     C, S_fwd = fused_census_fwd_t(clw, crw, D, pf[0], pf[1], bpm=bpm,

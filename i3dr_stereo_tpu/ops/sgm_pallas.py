@@ -95,8 +95,10 @@ def _step(prev, c, p1, p2, D):
 # horizontal kernel
 # ---------------------------------------------------------------------------
 
-def _lr_kernel(c_ref, s_ref, carry_ref, s_buf, c_gbuf, *, p1, p2, WC, D,
+def _lr_kernel(pp_ref, c_ref, s_ref, carry_ref, s_buf, c_gbuf, *, WC, D,
                forward: bool, sentinel: bool, out_dtype):
+    # pp_ref: (2,) SMEM — (P1, P2) as runtime scalars (live-reconfigurable)
+    p1, p2 = pp_ref[0], pp_ref[1]
     chunk = pl.program_id(2)
 
     @pl.when(chunk == 0)
@@ -149,13 +151,18 @@ def _pick_tiles(H: int, W: int, D: int, itemsize: int,
     return th, wc
 
 
-@functools.partial(jax.jit, static_argnames=("p1", "p2", "forward", "sentinel",
+def _pp_arr(p1, p2) -> jax.Array:
+    return jnp.stack([jnp.asarray(p1, jnp.float32),
+                      jnp.asarray(p2, jnp.float32)])
+
+
+@functools.partial(jax.jit, static_argnames=("forward", "sentinel",
                                              "out_dtype", "interpret"))
 def _horizontal_pass(C, p1, p2, forward: bool, sentinel: bool = False,
                      out_dtype=jnp.float32, interpret: bool = False):
     B, H, W, D = C.shape
     th, wc = _pick_tiles(H, W, D, C.dtype.itemsize)
-    kern = functools.partial(_lr_kernel, p1=p1, p2=p2, WC=wc, D=D,
+    kern = functools.partial(_lr_kernel, WC=wc, D=D,
                              forward=forward, sentinel=sentinel,
                              out_dtype=out_dtype)
     if forward:
@@ -166,22 +173,23 @@ def _horizontal_pass(C, p1, p2, forward: bool, sentinel: bool = False,
     return pl.pallas_call(
         kern,
         grid=(B, H // th, W // wc),
-        in_specs=[spec],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(C.shape, out_dtype),
         scratch_shapes=[pltpu.VMEM((th, D), jnp.float32),
                         pltpu.VMEM((th, 8, D), jnp.float32),
                         pltpu.VMEM((th, 8, D), jnp.float32)],
         interpret=interpret,
-    )(C)
+    )(_pp_arr(p1, p2), C)
 
 
 # ---------------------------------------------------------------------------
 # vertical/diagonal kernel
 # ---------------------------------------------------------------------------
 
-def _vert_kernel(c_ref, s_ref, *carries, p1, p2, shifts, W, D,
+def _vert_kernel(pp_ref, c_ref, s_ref, *carries, shifts, W, D,
                  sentinel: bool, out_dtype):
+    p1, p2 = pp_ref[0], pp_ref[1]
     row = pl.program_id(1)
 
     @pl.when(row == 0)
@@ -205,13 +213,13 @@ def _vert_kernel(c_ref, s_ref, *carries, p1, p2, shifts, W, D,
     s_ref[0, 0] = _store_sum(total, out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("p1", "p2", "shifts", "reverse",
+@functools.partial(jax.jit, static_argnames=("shifts", "reverse",
                                              "sentinel", "out_dtype", "interpret"))
 def _vertical_pass(C, p1, p2, shifts: Tuple[int, ...], reverse: bool,
                    sentinel: bool = False, out_dtype=jnp.float32,
                    interpret: bool = False):
     B, H, W, D = C.shape
-    kern = functools.partial(_vert_kernel, p1=p1, p2=p2, shifts=shifts, W=W,
+    kern = functools.partial(_vert_kernel, shifts=shifts, W=W,
                              D=D, sentinel=sentinel, out_dtype=out_dtype)
     if reverse:
         index_map = lambda b, i: (b, H - 1 - i, 0, 0)
@@ -221,12 +229,12 @@ def _vertical_pass(C, p1, p2, shifts: Tuple[int, ...], reverse: bool,
     return pl.pallas_call(
         kern,
         grid=(B, H),
-        in_specs=[spec],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(C.shape, out_dtype),
         scratch_shapes=[pltpu.VMEM((W, D), jnp.float32) for _ in shifts],
         interpret=interpret,
-    )(C)
+    )(_pp_arr(p1, p2), C)
 
 
 # ---------------------------------------------------------------------------
@@ -238,6 +246,17 @@ def _vmem_ok_vertical(W: int, D: int, n_carries: int, itemsize: int,
     """Carries (f32) + double-buffered C-in and S-out row blocks."""
     need = (n_carries * 4 + 2 * itemsize + 2 * out_itemsize) * W * D
     return need < 10 * 1024 * 1024
+
+
+def _pen_key(pp):
+    """Grouping key for per-direction penalties that works for python
+    floats AND traced scalars (tracers define __eq__ symbolically, so
+    they cannot be dict keys by value — group by identity instead;
+    repeated-tuple penalties share objects, so grouping still fires)."""
+    p1, p2 = pp
+    if isinstance(p1, (int, float)) and isinstance(p2, (int, float)):
+        return (float(p1), float(p2))
+    return (id(p1), id(p2))
 
 
 def sgm_aggregate_pallas(C: jax.Array, p1: float = 10.0, p2: float = 120.0,
@@ -298,7 +317,7 @@ def sgm_aggregate_pallas(C: jax.Array, p1: float = 10.0, p2: float = 120.0,
     for d in _HORIZ:
         if d in directions:
             pp1, pp2 = pen[d]
-            add(_horizontal_pass(Cb, float(pp1), float(pp2),
+            add(_horizontal_pass(Cb, pp1, pp2,
                                  forward=(d == (0, 1)), sentinel=sentinel,
                                  out_dtype=out_dtype, interpret=interpret))
 
@@ -309,16 +328,17 @@ def sgm_aggregate_pallas(C: jax.Array, p1: float = 10.0, p2: float = 120.0,
             continue
         groups = {}
         for d in fam:
-            groups.setdefault(pen[d], []).append(d)
-        for (pp1, pp2), ds in groups.items():
+            groups.setdefault(_pen_key(pen[d]), []).append(d)
+        for key, ds in groups.items():
+            pp1, pp2 = pen[ds[0]]
             shifts = tuple(d[1] for d in ds)
             if _vmem_ok_vertical(W, padD, len(shifts), Cb.dtype.itemsize):
-                add(_vertical_pass(Cb, float(pp1), float(pp2), shifts, reverse,
+                add(_vertical_pass(Cb, pp1, pp2, shifts, reverse,
                                    sentinel=sentinel, out_dtype=out_dtype,
                                    interpret=interpret))
             else:
                 for sh in shifts:
-                    add(_vertical_pass(Cb, float(pp1), float(pp2), (sh,),
+                    add(_vertical_pass(Cb, pp1, pp2, (sh,),
                                        reverse, sentinel=sentinel,
                                        out_dtype=out_dtype, interpret=interpret))
 

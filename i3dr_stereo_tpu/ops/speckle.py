@@ -94,7 +94,7 @@ def speckle_filter(disp: jax.Array, valid: jax.Array, *,
                                 downsample=downsample, backend=backend)
 
 
-@partial(jax.jit, static_argnames=("max_size", "max_diff", "iters",
+@partial(jax.jit, static_argnames=("max_size", "iters",
                                    "downsample", "backend"))
 def _speckle_filter_impl(disp: jax.Array, valid: jax.Array, *,
                          max_size: int, max_diff: float,

@@ -66,7 +66,10 @@ def _roll2(x, dy, dx):
     return x
 
 
-def _kernel(*refs, CORE, HALO, S, max_diff, tiled, H_real, W_real):
+def _kernel(*refs, CORE, HALO, S, tiled, H_real, W_real):
+    # refs[0]: (1,) SMEM — max_diff as a runtime scalar (live-reconfigurable)
+    max_diff = refs[0][0]
+    refs = refs[1:]
     if tiled:
         blocks = refs[:9]
         out_ref = refs[9]
@@ -235,13 +238,16 @@ def _ceil_to(v: int, m: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_size", "max_diff", "interpret"))
+                   static_argnames=("max_size", "interpret"))
 def speckle_filter_pallas(disp: jax.Array, valid: jax.Array, *,
-                          max_size: int, max_diff: float,
+                          max_size: int, max_diff,
                           interpret: bool = False) -> jax.Array:
-    """Exact cv::filterSpeckles keep-mask on TPU. disp/valid: (B, H, W)."""
+    """Exact cv::filterSpeckles keep-mask on TPU. disp/valid: (B, H, W).
+    ``max_diff`` may be a python float or a traced scalar."""
     B, H, W = disp.shape
     S = int(max_size)
+    md = jnp.asarray(max_diff, jnp.float32)[None]
+    md_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     d = jnp.where(valid, disp.astype(jnp.float32), INVALID)
 
     single = H * W <= 320 * 512 or S + 1 > 128
@@ -251,12 +257,13 @@ def speckle_filter_pallas(disp: jax.Array, valid: jax.Array, *,
         dp = jnp.pad(d, ((0, 0), (0, Hp - H), (0, Wp - W)),
                      constant_values=INVALID)
         kern = functools.partial(_kernel, CORE=0, HALO=0, S=S,
-                                 max_diff=float(max_diff), tiled=False,
+                                 tiled=False,
                                  H_real=H, W_real=W)
         keep = pl.pallas_call(
             kern,
             grid=(B,),
-            in_specs=[pl.BlockSpec((1, Hp, Wp), lambda b: (b, 0, 0),
+            in_specs=[md_spec,
+                      pl.BlockSpec((1, Hp, Wp), lambda b: (b, 0, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((1, Hp, Wp), lambda b: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -264,7 +271,7 @@ def speckle_filter_pallas(disp: jax.Array, valid: jax.Array, *,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(dp)
+        )(md, dp)
         return valid & (keep[:, :H, :W] > 0.5)
 
     # CORE trades halo-overlap waste (smaller core => more redundant halo
@@ -286,12 +293,13 @@ def speckle_filter_pallas(disp: jax.Array, valid: jax.Array, *,
                             memory_space=pltpu.VMEM)
 
     kern = functools.partial(_kernel, CORE=CORE, HALO=HALO, S=S,
-                             max_diff=float(max_diff), tiled=True,
+                             tiled=True,
                              H_real=H, W_real=W)
     keep = pl.pallas_call(
         kern,
         grid=(B, nH, nW),
-        in_specs=[spec(oy, ox) for oy in (-1, 0, 1) for ox in (-1, 0, 1)],
+        in_specs=[md_spec]
+        + [spec(oy, ox) for oy in (-1, 0, 1) for ox in (-1, 0, 1)],
         out_specs=pl.BlockSpec((1, CORE, CORE), lambda b, i, j: (b, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, nH * CORE, nW * CORE),
@@ -301,5 +309,5 @@ def speckle_filter_pallas(disp: jax.Array, valid: jax.Array, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*([dp] * 9))
+    )(md, *([dp] * 9))
     return valid & (keep[:, :H, :W] > 0.5)

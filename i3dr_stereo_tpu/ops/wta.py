@@ -20,7 +20,7 @@ import jax.numpy as jnp
 BIG = 1.0e9
 
 
-@partial(jax.jit, static_argnames=("min_disparity", "uniqueness_ratio", "subpixel"))
+@partial(jax.jit, static_argnames=("min_disparity", "subpixel"))
 def wta_disparity(S: jax.Array, min_disparity: int = 0, *,
                   uniqueness_ratio: float = 0.0,
                   subpixel: bool = True) -> tuple[jax.Array, jax.Array]:
@@ -42,12 +42,17 @@ def wta_disparity(S: jax.Array, min_disparity: int = 0, *,
     Sbest = jnp.min(S, axis=-1)
     valid = Sbest < invalid_level
 
-    if uniqueness_ratio > 0:
+    ur_static = isinstance(uniqueness_ratio, (int, float))
+    if not ur_static or uniqueness_ratio > 0:
+        # uniqueness may be a traced scalar (live reconfigure): evaluate
+        # unconditionally then, with <= 0 reducing to a no-op
         d_idx = jnp.arange(D)
         far = jnp.abs(d_idx - best[..., None]) > 1
         S_far = jnp.where(far, S, jnp.inf)
         min_far = jnp.min(S_far, axis=-1)
         ok = min_far * (100.0 - uniqueness_ratio) >= Sbest * 100.0
+        if not ur_static:
+            ok = ok | (jnp.asarray(uniqueness_ratio) <= 0)
         valid = valid & ok
 
     disp = best.astype(jnp.float32)

@@ -81,61 +81,98 @@ class StereoPipeline:
         self._Q = jnp.asarray(self.rig.Q, dtype=jnp.float32)
         self._cache = {}
 
+    # Numeric non-shape parameters: passed into the jitted step as TRACED
+    # scalars, so live tuning of any of them NEVER re-traces or
+    # re-compiles — the reference's pathology (full engine rebuild per
+    # setter, I3DRSGM.cpp:630-654) designed away. Their *structural*
+    # gates (e.g. backmatch on/off = backmatch_distance >= 0) stay
+    # static via _static_key, so flipping a feature still re-jits.
+    DYN_FIELDS = ("p1", "p2", "uniqueness_ratio", "texture_threshold",
+                  "speckle_range", "backmatch_distance", "disp12_max_diff")
+
     # -- live reconfigure ------------------------------------------------------
     def update_config(self, **kw) -> None:
+        """Apply a config change. Changes confined to DYN_FIELDS reuse
+        the compiled step (values flow in as traced arguments); anything
+        else re-jits on the next process() via the static cache key."""
         self.config = self.config.replace(**kw)
-        self._cache.clear()
 
     def update_cloud(self, **kw) -> None:
         self.cloud = dataclasses.replace(self.cloud, **kw)
-        self._cache.clear()
 
     def set_rig(self, rig: StereoRig) -> None:
         self.rig = rig
         self.__post_init__()
 
+    def _static_key(self) -> tuple:
+        """Everything the traced program structure depends on, EXCEPT the
+        dyn values themselves: all non-dyn config fields, the structural
+        gate predicates of the dyn fields, cloud gates, output flags."""
+        cfg = self.config
+        base = tuple(getattr(cfg, f.name) for f in dataclasses.fields(cfg)
+                     if f.name not in self.DYN_FIELDS)
+        gates = (cfg.backmatch_distance >= 0, cfg.disp12_max_diff >= 0,
+                 cfg.disp12_max_diff > 0, cfg.texture_threshold > 0)
+        return (base, gates, self.cloud.save_points_as_binary,
+                self.compute_depth, self.compute_points, self.compute_crop)
+
+    def _dyn_values(self) -> dict:
+        import jax.numpy as _jnp
+        m = {f: _jnp.float32(getattr(self.config, f))
+             for f in self.DYN_FIELDS}
+        return {"m": m,
+                "depth_min": _jnp.float32(self.cloud.depth_min),
+                "depth_max": _jnp.float32(self.cloud.depth_max)}
+
     # -- the fused step --------------------------------------------------------
     def _build(self):
-        cfg = self.config
+        static_cfg = self.config        # plain floats: structural gating
         cloud = self.cloud
         lmap, rmap, Q = self._lmap, self._rmap, self._Q
-        impl = MATCHER_REGISTRY[cfg.algorithm]
+        impl = MATCHER_REGISTRY[static_cfg.algorithm]
         rig_fx = self.rig.fx
         rig_T = self.rig.baseline
         want_depth = self.compute_depth
         want_points = self.compute_points
         want_crop = self.compute_crop
 
-        def step(left, right):
+        def step(left, right, dyn):
+            # numeric (non-shape) params arrive traced; the matcher gets a
+            # config whose dyn fields are tracers plus the static shadow
+            # for control flow
+            cfg = dataclasses.replace(static_cfg, **dyn["m"])
+            depth_min, depth_max = dyn["depth_min"], dyn["depth_max"]
             l = to_mono_f32(left)
             r = to_mono_f32(right)
             if lmap is not None:
                 l = remap(l, lmap)
                 r = remap(r, rmap)
-            res: MatchResult = impl(l, r, cfg)
+            res: MatchResult = impl(l, r, cfg, st=static_cfg)
             disp, valid = res.disparity, res.valid
 
             # depth-range -> disparity clamp (generate_disparity.cpp:449-452):
-            # disparities implying Z outside [depth_min, depth_max] are missing
-            if cloud.depth_max > 0:
-                min_disp_from_depth = rig_fx * rig_T / cloud.depth_max
-                valid = valid & (disp >= min_disp_from_depth)
-            if cloud.depth_min > 0:
-                max_disp_from_depth = rig_fx * rig_T / max(cloud.depth_min, 1e-6)
-                valid = valid & (disp <= max_disp_from_depth)
+            # disparities implying Z outside [depth_min, depth_max] are
+            # missing. Always computed (cheap elementwise) with <= 0
+            # disabling each bound, so live tuning of the depth range —
+            # including turning a bound on/off — never re-traces.
+            min_disp_from_depth = rig_fx * rig_T / jnp.where(
+                depth_max > 0, depth_max, jnp.inf)
+            valid = valid & ((depth_max <= 0) | (disp >= min_disp_from_depth))
+            max_disp_from_depth = rig_fx * rig_T / jnp.maximum(depth_min, 1e-6)
+            valid = valid & ((depth_min <= 0) | (disp <= max_disp_from_depth))
 
             depth = depth_valid = points = cropped = None
             if want_depth:
                 depth, depth_valid = disparity_to_depth(
-                    disp, valid, Q, cloud.depth_min, cloud.depth_max)
+                    disp, valid, Q, depth_min, depth_max)
             if want_points:
                 if disp.ndim == 2:
                     points = disparity_to_pointcloud(
-                        disp, valid, Q, l, cloud.depth_min, cloud.depth_max)
+                        disp, valid, Q, l, depth_min, depth_max)
                 else:
                     points = jax.vmap(
                         lambda d, v, g: disparity_to_pointcloud(
-                            d, v, Q, g, cloud.depth_min, cloud.depth_max)
+                            d, v, Q, g, depth_min, depth_max)
                     )(disp, valid, l)
             if want_crop:
                 cropped = crop_by_disparity(l, disp, valid)
@@ -149,12 +186,11 @@ class StereoPipeline:
     def process(self, left, right) -> PipelineResult:
         left = jnp.asarray(left)
         right = jnp.asarray(right)
-        key = (left.shape, str(left.dtype),
-               dataclasses.astuple(self.config), dataclasses.astuple(self.cloud))
+        key = (left.shape, str(left.dtype), self._static_key())
         fn = self._cache.get(key)
         if fn is None:
             fn = self._build()
             self._cache[key] = fn
-        return fn(left, right)
+        return fn(left, right, self._dyn_values())
 
     __call__ = process

@@ -114,7 +114,11 @@ def test_lean_matches_gather_path_closely():
     both = vg & vf
     dg = np.asarray(r_gather.disparity)[both]
     df = np.asarray(r_fused.disparity)[both]
-    assert (np.abs(dg - df) < 1.0).mean() > 0.97
+    # 0.95, not 0.97: the exact forward-splat backmatch keeps borderline
+    # occlusion-edge pixels the old fronto-parallel roundtrip used to
+    # kill, so the compared population now includes the hard pixels
+    # where the two window formulations legitimately diverge
+    assert (np.abs(dg - df) < 1.0).mean() > 0.95
 
 
 def test_lean_sgbm_bt_path():

@@ -131,13 +131,81 @@ def test_min_disparity_offset_search():
     assert (d[np.asarray(res.valid)] >= 8).all()
 
 
+def _wls_exact_2d(d, conf, guide, lam=8000.0, sigma=1.5):
+    """Independent ORACLE: the exact 2D weighted-least-squares objective
+    that cv::ximgproc's DisparityWLSFilter approximates with the fast
+    global smoother (Min et al. 2014) — (A + lam * L_w) u = A d solved
+    DIRECTLY with a sparse factorization (scipy), no separable passes,
+    no iteration schedule. Same guide normalization as ops.wls
+    (guide/255, sigma/10). cv2.ximgproc is absent from this
+    environment; this is the vendored-oracle route of round-3 verdict
+    #5 — and a stronger gate than ximgproc itself, since it checks the
+    objective rather than one approximation against another."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    H, W = d.shape
+    g = guide.astype(np.float64) / 255.0
+    s = sigma / 10.0
+    wh = np.exp(-np.abs(np.diff(g, axis=1)) / s)    # (H, W-1)
+    wv = np.exp(-np.abs(np.diff(g, axis=0)) / s)    # (H-1, W)
+    n = H * W
+    idx = np.arange(n).reshape(H, W)
+    diag = conf.astype(np.float64).ravel() + 1e-8
+    rows, cols, vals = [], [], []
+
+    def add_edges(i_idx, j_idx, w):
+        i = i_idx.ravel()
+        j = j_idx.ravel()
+        wl = lam * w.ravel()
+        rows.extend([i, j])
+        cols.extend([j, i])
+        vals.extend([-wl, -wl])
+        np.add.at(diag, i, wl)
+        np.add.at(diag, j, wl)
+
+    add_edges(idx[:, :-1], idx[:, 1:], wh)
+    add_edges(idx[:-1, :], idx[1:, :], wv)
+    rows = np.concatenate(rows + [np.arange(n)])
+    cols = np.concatenate(cols + [np.arange(n)])
+    vals = np.concatenate(vals + [diag])
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    rhs = (conf.astype(np.float64) * d).ravel()
+    return spla.spsolve(A, rhs).reshape(H, W)
+
+
+def test_wls_matches_exact_2d_oracle():
+    """ops.wls.wls_filter (the TPU fast-global-smoother) vs the exact 2D
+    WLS solution at the reference's own operating point (lambda=8000,
+    sigma=1.5, matcherOpenCVBlock.cpp:22-33): the separable schedule
+    must land within a few hundredths of a pixel of the true objective
+    minimum, holes included."""
+    from i3dr_stereo_tpu.ops.wls import wls_filter
+
+    sc = layered_scene(48, 64, max_disp=10, seed=3)
+    rng = np.random.default_rng(0)
+    conf = np.ones((48, 64), np.float32)
+    conf[rng.random((48, 64)) < 0.25] = 0.0       # holes
+    d = sc.disparity + rng.normal(0, 0.15, (48, 64)).astype(np.float32)
+    d[conf == 0] = 0.0
+
+    exact = _wls_exact_2d(d, conf, sc.left)
+    ours = np.asarray(wls_filter(d, conf, sc.left))
+    diff = np.abs(ours - exact)
+    assert diff.mean() < 0.05, diff.mean()
+    assert np.percentile(diff, 95) < 0.1
+    assert diff[conf == 0].mean() < 0.05          # hole fill agrees too
+    # and the oracle itself behaves: holes land near ground truth
+    assert np.abs(exact - sc.disparity)[conf == 0].mean() < 1.0
+
+
 def test_interp_backward_wls_path():
     """interp=True runs the reference's full interp chain: backward match
     derived from the aggregated volume + LR-confidence WLS filtering
     (matcherOpenCVBlock.cpp:22-33). Everything comes back valid, holes
     are filled from confident neighbours, confident pixels stay put.
-    (cv2.ximgproc is absent from this environment, so the gate is
-    behavioral rather than an oracle diff.)"""
+    (The numeric WLS gate against the exact 2D objective lives in
+    test_wls_matches_exact_2d_oracle.)"""
     sc = layered_scene(96, 128, max_disp=20, seed=3)
     cfg = ALGORITHM_DEFAULTS[Algorithm.SGBM].replace(disparity_range=32,
                                                      speckle_size=50)

@@ -64,13 +64,41 @@ def test_pipeline_batched():
     assert res.depth.shape == (2, 96, 128)
 
 
-def test_pipeline_reconfigure_clears_cache():
+def test_pipeline_numeric_reconfigure_no_retrace():
+    """Live tuning of numeric params (p1/p2, uniqueness, speckle diff,
+    depth bounds) must NOT re-trace the compiled step — they flow in as
+    traced arguments (cf. the reference's engine rebuild per setter,
+    I3DRSGM.cpp:630-654). Only structural changes re-jit."""
     sc = layered_scene(96, 128, max_disp=16)
     pipe = _pipeline()
     r1 = pipe.process(sc.left, sc.right)
-    pipe.update_config(p2=2000.0)
+    assert len(pipe._cache) == 1
+    fn = next(iter(pipe._cache.values()))
+    traces0 = fn._cache_size()
+
+    pipe.update_config(p2=2000.0, p1=150.0, uniqueness_ratio=5.0,
+                       speckle_range=2.0, backmatch_distance=2.5)
+    pipe.update_cloud(depth_min=0.5, depth_max=50.0)
     r2 = pipe.process(sc.left, sc.right)
+    assert len(pipe._cache) == 1                      # same compiled step
+    assert fn._cache_size() == traces0                # zero new traces
     assert r2.disparity.shape == r1.disparity.shape
+    # and the new values genuinely took effect: a P2 of 2000 over-smooths
+    # vs the default 400 somewhere on a layered scene
+    assert not np.array_equal(np.asarray(r2.disparity),
+                              np.asarray(r1.disparity))
+
+    # an extreme uniqueness ratio (traced) must kill pixels without
+    # re-tracing either
+    pipe.update_config(uniqueness_ratio=99.0)
+    r3 = pipe.process(sc.left, sc.right)
+    assert fn._cache_size() == traces0
+    assert np.asarray(r3.valid).sum() < np.asarray(r2.valid).sum()
+
+    # structural change (LR check off is a different program) re-jits
+    pipe.update_config(disp12_max_diff=-1.0)
+    pipe.process(sc.left, sc.right)
+    assert len(pipe._cache) == 2
 
 
 def test_pipeline_with_rectification():
