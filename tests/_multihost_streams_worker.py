@@ -22,13 +22,14 @@ import time
 PID = int(sys.argv[1])
 PORT = sys.argv[2]
 OUT = sys.argv[3]
+NPROCS = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
 jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
-                           num_processes=2, process_id=PID)
+                           num_processes=NPROCS, process_id=PID)
 
 import numpy as np  # noqa: E402
 from jax.experimental import multihost_utils  # noqa: E402
@@ -45,7 +46,7 @@ TILE_H, TILE_W = 32, 48
 
 
 def main() -> None:
-    assert jax.process_count() == 2
+    assert jax.process_count() == NPROCS
     n_global = len(jax.devices())
     n_local = len(jax.local_devices())
     mesh = make_mesh(n_global, 1)
@@ -116,9 +117,15 @@ def main() -> None:
                 "median_px_vs_gt": round(float(np.median(st["errs"])), 4),
                 "collective_valid_px": st["valid_px"],
             })
+        total_tiles = sum(st["tiles"] for st in per_stream)
+        total_secs = sum(st["seconds"] for st in per_stream)
         doc = {"ok": all(r["median_px_vs_gt"] < 0.5 for r in rows),
                "processes": jax.process_count(),
                "global_devices": n_global,
+               "total_tiles_per_s": round(total_tiles
+                                          / max(total_secs, 1e-9), 1),
+               "tiles_per_s_per_device": round(
+                   total_tiles / max(total_secs, 1e-9) / n_global, 2),
                "streams": N_STREAMS,
                "tile_hw": [TILE_H, TILE_W],
                "collective": "global valid-count all-reduce over the "
