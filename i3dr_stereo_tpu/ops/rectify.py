@@ -82,16 +82,21 @@ class RectifyMap:
 
     ``flat_idx[h, w]`` indexes the top-left tap of the (T x T) stencil in
     the flattened padded source image; ``wx``/``wy`` are the T horizontal
-    / vertical weights (T=4 cubic, T=2 linear).
+    / vertical weights (T=4 cubic, T=2 linear). ``banded`` (when the
+    map's local variation fits the channel budget — every real
+    calibration) carries the channelized form consumed by the gather-free
+    Pallas kernel (:mod:`~i3dr_stereo_tpu.ops.rectify_pallas`), which is
+    ~200x faster on TPU than the 16-gather formulation.
     """
 
     flat_idx: jax.Array   # (H, W) int32 into padded flat image
     wx: jax.Array         # (H, W, T) float32
     wy: jax.Array         # (H, W, T) float32
-    src_h: int = dataclasses.field(metadata=dict(static=True))
-    src_w: int = dataclasses.field(metadata=dict(static=True))
-    pad: int = dataclasses.field(metadata=dict(static=True))
-    taps: int = dataclasses.field(metadata=dict(static=True))
+    banded: object | None = None   # BandedRemap | None (pytree child)
+    src_h: int = dataclasses.field(default=0, metadata=dict(static=True))
+    src_w: int = dataclasses.field(default=0, metadata=dict(static=True))
+    pad: int = dataclasses.field(default=0, metadata=dict(static=True))
+    taps: int = dataclasses.field(default=2, metadata=dict(static=True))
 
     @property
     def padded_w(self) -> int:
@@ -135,10 +140,15 @@ def make_rectify_map(cam: CameraModel, *, interpolation: str = "cubic",
     bx = np.clip(base_x + pad, 0, src_w + 2 * pad - taps)
     by = np.clip(base_y + pad, 0, src_h + 2 * pad - taps)
     flat = (by * (src_w + 2 * pad) + bx).astype(np.int32)
+    from i3dr_stereo_tpu.ops.rectify_pallas import build_banded
+
+    banded = build_banded(by.astype(np.int64), bx.astype(np.int64),
+                          wx=wx, wy=wy, src_h=src_h, src_w=src_w, pad=pad)
     return RectifyMap(
         flat_idx=jnp.asarray(flat),
         wx=jnp.asarray(wx, dtype=jnp.float32),
         wy=jnp.asarray(wy, dtype=jnp.float32),
+        banded=banded,
         src_h=int(src_h),
         src_w=int(src_w),
         pad=pad,
@@ -146,18 +156,45 @@ def make_rectify_map(cam: CameraModel, *, interpolation: str = "cubic",
     )
 
 
+def _remap_backend() -> str:
+    """banded (Pallas, TPU default) | banded_interpret | gather.
+    Override with I3DR_REMAP_BACKEND."""
+    import os
+
+    b = os.environ.get("I3DR_REMAP_BACKEND", "auto")
+    if b != "auto":
+        return b
+    try:
+        platform = jax.default_backend()
+    except Exception:  # pragma: no cover
+        return "gather"
+    return "banded" if platform == "tpu" else "gather"
+
+
 @partial(jax.jit, static_argnames=())
 def remap(image: jax.Array, rmap: RectifyMap) -> jax.Array:
     """Apply the precomputed map to a (H, W) or (B, H, W) image.
 
-    16 (cubic) or 4 (linear) gathers with separable weights; everything
-    fuses into one kernel under jit.
+    On TPU (when the map channelizes — every real calibration) the
+    gather-free banded Pallas kernel runs; otherwise 16 (cubic) / 4
+    (linear) flat gathers with separable weights, fused under jit. The
+    two paths are exact reformulations of the same stencil (tests
+    assert agreement to float rounding).
     """
     batched = image.ndim == 3
     img = image if batched else image[None]
     img = img.astype(jnp.float32)
     p = rmap.pad
     padded = jnp.pad(img, ((0, 0), (p, p), (p, p)), mode="edge")
+
+    backend = _remap_backend()
+    if rmap.banded is not None and backend.startswith("banded"):
+        from i3dr_stereo_tpu.ops.rectify_pallas import remap_banded
+
+        out = remap_banded(padded, rmap.banded,
+                           interpret=backend == "banded_interpret")
+        return out if batched else out[0]
+
     B = padded.shape[0]
     flat = padded.reshape(B, -1)
     W = rmap.padded_w

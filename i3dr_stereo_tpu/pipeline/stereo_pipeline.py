@@ -128,7 +128,7 @@ class StereoPipeline:
     def _build(self):
         static_cfg = self.config        # plain floats: structural gating
         cloud = self.cloud
-        lmap, rmap, Q = self._lmap, self._rmap, self._Q
+        has_maps = self._lmap is not None
         impl = MATCHER_REGISTRY[static_cfg.algorithm]
         rig_fx = self.rig.fx
         rig_T = self.rig.baseline
@@ -136,15 +136,18 @@ class StereoPipeline:
         want_points = self.compute_points
         want_crop = self.compute_crop
 
-        def step(left, right, dyn):
+        def step(left, right, dyn, lmap, rmap, Q):
             # numeric (non-shape) params arrive traced; the matcher gets a
             # config whose dyn fields are tracers plus the static shadow
-            # for control flow
+            # for control flow. The rectify maps and Q arrive as traced
+            # ARGUMENTS, not closure constants: baked-in maps are ~200 MB
+            # of HLO constants at full res, which blows up compile time
+            # (and this runtime's remote-compile transport)
             cfg = dataclasses.replace(static_cfg, **dyn["m"])
             depth_min, depth_max = dyn["depth_min"], dyn["depth_max"]
             l = to_mono_f32(left)
             r = to_mono_f32(right)
-            if lmap is not None:
+            if has_maps:
                 l = remap(l, lmap)
                 r = remap(r, rmap)
             res: MatchResult = impl(l, r, cfg, st=static_cfg)
@@ -191,6 +194,7 @@ class StereoPipeline:
         if fn is None:
             fn = self._build()
             self._cache[key] = fn
-        return fn(left, right, self._dyn_values())
+        return fn(left, right, self._dyn_values(),
+                  self._lmap, self._rmap, self._Q)
 
     __call__ = process

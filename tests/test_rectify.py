@@ -84,3 +84,34 @@ def test_batched_remap():
     out = np.asarray(remap(imgs, rmap))
     assert out.shape == (3, 24, 32)
     np.testing.assert_allclose(out, imgs, atol=1e-3)
+
+
+def test_banded_pallas_matches_gather_path(monkeypatch):
+    """The gather-free banded Pallas remap (ops/rectify_pallas.py) is an
+    exact algebraic regrouping of the gather formulation — identical
+    output on a strongly distorted calibration (both interpolations,
+    batched too)."""
+    cam = _distorted_cam()
+    img = _checker(240, 320)
+    for interp in ("cubic", "linear"):
+        m = make_rectify_map(cam, interpolation=interp)
+        assert m.banded is not None   # real calibrations channelize
+        monkeypatch.setenv("I3DR_REMAP_BACKEND", "banded_interpret")
+        out_b = np.asarray(remap(img, m))
+        out_b2 = np.asarray(remap(np.stack([img, img * 0.5]), m))
+        monkeypatch.setenv("I3DR_REMAP_BACKEND", "gather")
+        out_g = np.asarray(remap(img, m))
+        np.testing.assert_allclose(out_b, out_g, atol=1e-3)
+        np.testing.assert_allclose(out_b2[0], out_g, atol=1e-3)
+        np.testing.assert_allclose(out_b2[1], 0.5 * out_g, atol=1e-3)
+
+
+def test_banded_build_rejects_wild_maps():
+    """A non-smooth map (the generic-warp use of remap) must fall back
+    to the gather path instead of mis-channelizing."""
+    cam = CameraModel.ideal(160, 120, 100.0)
+    rng = np.random.default_rng(0)
+    mx = rng.uniform(0, 159, (120, 160))          # random scatter warp
+    my = rng.uniform(0, 119, (120, 160))
+    m = make_rectify_map(cam, interpolation="linear", map_xy=(mx, my))
+    assert m.banded is None
