@@ -413,12 +413,26 @@ def bench_e2e_2448():
     from i3dr_stereo_tpu.ops.depth import disparity_to_depth
     from i3dr_stereo_tpu.ops.rectify import make_rectify_map, remap
 
+    import cv2 as _cv2
+
+    from i3dr_stereo_tpu.core.camera import CameraModel
+
     H, W = 2048, 2448
     rig = StereoRig.synthetic(W, H, fx=2400.0, baseline_m=0.3)
     cfg = _flagship_cfg()
     impl = MATCHER_REGISTRY[cfg.algorithm]
-    lmap = make_rectify_map(rig.left, interpolation="cubic")
-    rmap = make_rectify_map(rig.right, interpolation="cubic")
+    # REAL-shaped rectification (distortion + rotation), not the
+    # synthetic identity map whose banded remap is unrealistically cheap
+    _K = np.array([[2400.0, 0, 1224.0], [0, 2400.0, 1024.0], [0, 0, 1]])
+    _D = np.array([-0.18, 0.06, 0.0008, -0.0006, 0.0])
+    _P = np.array([[2380.0, 0, 1220.0, 0], [0, 2380.0, 1022.0, 0],
+                   [0, 0, 1, 0]])
+    _Rl = _cv2.Rodrigues(np.array([0.004, -0.006, 0.002]))[0]
+    _Rr = _cv2.Rodrigues(np.array([-0.003, 0.005, -0.002]))[0]
+    lmap = make_rectify_map(CameraModel(W, H, _K, _D, _Rl, _P),
+                            interpolation="cubic")
+    rmap = make_rectify_map(CameraModel(W, H, _K, _D, _Rr, _P),
+                            interpolation="cubic")
     Q = jnp.asarray(rig.Q, dtype=jnp.float32)
 
     # maps as ARGUMENTS (closure constants at this size blow up the
@@ -480,9 +494,14 @@ def bench_e2e_2448():
         "rectify_only_fps": round(1.0 / dt_rect, 2),
         "match_depth_only_fps": round(1.0 / dt_md, 2),
         "note": "ingest = 2x 5MP uint8 host->device per frame inside "
-                "the timed loop; 2 programs/frame (rectify | "
-                "match+depth), intermediate device-resident (see "
-                "docstring re compile-helper limit)",
+                "the timed loop — on THIS runtime that transfer rides a "
+                "remote-TPU dev tunnel (~tens of MB/s), which is the "
+                "binding constraint; deployed PCIe ingest runs GB/s, "
+                "leaving the compute split (banded bicubic rectify + "
+                "pyramid SGM + depth) as the honest rate. 2 "
+                "programs/frame (rectify | match+depth), intermediate "
+                "device-resident (see docstring re compile-helper "
+                "limit)",
     }
 
 
