@@ -137,7 +137,7 @@ def build_banded(by: np.ndarray, bx: np.ndarray, wy: np.ndarray,
 
 
 def _kernel(ay_ref, ax_ref, wv_ref, wh_ref, s00, s01, s10, s11, out_ref,
-            win_ref, *, CV, CH, RB, nbc):
+            win_ref, rot_ref, *, CV, CH, RB, nbc):
     i = pl.program_id(1)
     j = pl.program_id(2)
     blk = i * nbc + j
@@ -155,17 +155,25 @@ def _kernel(ay_ref, ax_ref, wv_ref, wh_ref, s00, s01, s10, s11, out_ref,
     al = pl.multiple_of((c0 // LANE) * LANE, LANE)   # 0 or 128
     off = c0 - al
 
+    # hoist the lane alignment out of the channel loop: one roll of the
+    # row span this block needs, staged once; per channel the loop is
+    # then a static slice + FMA only
+    span = ((CV - 1) // ROWS + 2) * ROWS
+    rot_ref[:span] = pltpu.roll(
+        win_ref[pl.ds(r0, span), pl.ds(al, 3 * LANE)],
+        3 * LANE - off, axis=1)
+
     acc = jnp.zeros((ROWS, LANE), jnp.float32)
     for t in range(CV):
-        # rows r0+t .. r0+t+ROWS align channel t with the 8 output rows:
-        # aligned 16-row load, then a STATIC t%8 sub-slice of the value
-        base = r0 + (t // ROWS) * ROWS
-        blk16 = win_ref[pl.ds(base, 2 * ROWS), pl.ds(al, 3 * LANE)]
-        blk16 = pltpu.roll(blk16, 3 * LANE - off, axis=1)
-        seg = blk16[t % ROWS: t % ROWS + ROWS]
-        wv_t = wv_ref[t]
+        # rows t .. t+ROWS of the rotated window align channel t with
+        # the 8 output rows (static slices of VMEM scratch)
+        seg = rot_ref[t:t + ROWS]
+        # factored separable form: one horizontal pass per channel t,
+        # then a single vertical weight — same exact sum, 1/3 fewer ops
+        inner = jnp.zeros((ROWS, LANE), jnp.float32)
         for s in range(CH):
-            acc = acc + (wv_t * wh_ref[s]) * seg[:, s:s + LANE]
+            inner = inner + wh_ref[s] * seg[:, s:s + LANE]
+        acc = acc + wv_ref[t] * inner
     out_ref[0] = acc
 
 
@@ -209,7 +217,9 @@ def remap_banded(padded: jax.Array, bm: BandedRemap, *,
         ],
         out_specs=pl.BlockSpec((1, ROWS, LANE), lambda b, i, j, ay, ax:
                                (b, i, j), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2 * RB, 2 * CB), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2 * RB, 2 * CB), jnp.float32),
+                        pltpu.VMEM((((CV - 1) // ROWS + 2) * ROWS, 3 * LANE),
+                                   jnp.float32)],
     )
     out = pl.pallas_call(
         kern,
