@@ -144,8 +144,14 @@ def pyramid_sgm_match(left, right, cfg: MatcherConfig,
                       profile: Optional[SGMProfile] = None,
                       st=None) -> MatchResult:
     """Full coarse-to-fine match driven by a typed SGMProfile."""
+    auto_profile = profile is None
     if profile is None:
         profile = profile_from_config(cfg, st)
+    # structural uniqueness gate for the fused kernels: with an
+    # auto-built profile the margin value may be a traced scalar (live
+    # reconfigure), so the on/off decision comes from the static shadow;
+    # explicit .param profiles carry plain floats that gate themselves
+    uq_en = ((st or cfg).uniqueness_ratio > 0) if auto_profile else None
     batched = left.ndim == 3
     l = (left if batched else left[None]).astype(jnp.float32)
     r = (right if batched else right[None]).astype(jnp.float32)
@@ -221,6 +227,7 @@ def pyramid_sgm_match(left, right, cfg: MatcherConfig,
                 (p.census_h, p.census_w),
                 subpixel=(p.level == 0 and p.subpixel),
                 uniqueness_ratio=p.uniqueness_ratio,
+                uniqueness_enabled=uq_en,
                 want_backmatch=p.backmatch,
                 interpret=backend.endswith("interpret"))
             cur_level = p.level
@@ -372,7 +379,8 @@ def _ceil_to(v: int, m: int) -> int:
 def _match_level_fused_t(ll, rr, pred_int, base_val: int, K: int, pens,
                          num_directions: int, census_hw, *,
                          subpixel: bool, interpret: bool,
-                         uniqueness_ratio: float = 0.0,
+                         uniqueness_ratio=0.0,
+                         uniqueness_enabled=None,
                          want_backmatch: bool = False):
     """One pyramid level through the dense transposed kernels
     (ops/sgm_fused_t.py): block-shift warp, census on the transposed
@@ -417,6 +425,7 @@ def _match_level_fused_t(ll, rr, pred_int, base_val: int, K: int, pens,
                                   pens=pens, directions=num_directions,
                                   subpixel=subpixel,
                                   uniqueness_ratio=uniqueness_ratio,
+                                  uniqueness_enabled=uniqueness_enabled,
                                   interpret=interpret)
     disp_res = disp_t[:, :Hh, :Wh]
     valid = disp_res > -1.0e8

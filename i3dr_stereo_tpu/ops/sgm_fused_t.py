@@ -323,7 +323,7 @@ def vsweep_down_t(C_T: jax.Array, shifts: Tuple[int, ...],
 
 
 def _vup_wta_kernel(pens_ref, c_ref, sh_ref, sd_ref, disp_ref, *carries,
-                    shifts, D, Wp, RB, subpixel):
+                    shifts, D, Wp, RB, subpixel, uniq):
     # pens_ref: (n_dirs + 1, 2) SMEM — per-direction (P1, P2) plus a final
     # (uniqueness_ratio, 0) row, all runtime scalars (live-reconfigurable)
     ur = pens_ref[len(shifts), 0]
@@ -350,12 +350,15 @@ def _vup_wta_kernel(pens_ref, c_ref, sh_ref, sd_ref, disp_ref, *carries,
         m = jnp.min(S, axis=0, keepdims=True)                            # (1,Wp)
         db = jnp.min(jnp.where(S == m, diota, D), axis=0, keepdims=True)
         valid = (m < 9999.0) & (cmin < U8_SENTINEL)
-        # uniqueness is a runtime scalar: always evaluated, no-op at <= 0
-        # (a cross-sublane min per row — noise next to the sweep itself)
-        far = jnp.abs(diota - db) > 1
-        min_far = jnp.min(jnp.where(far, S, BIG), axis=0, keepdims=True)
-        valid = valid & ((ur <= 0.0)
-                         | (min_far * (100.0 - ur) >= m * 100.0))
+        if uniq:
+            # the margin VALUE is a runtime scalar (live-tunable with no
+            # recompile); enabling/disabling the filter is structural —
+            # the extra cross-sublane min costs ~2 ms/frame at 2448x2048,
+            # so it is compiled out when the static config disables it
+            far = jnp.abs(diota - db) > 1
+            min_far = jnp.min(jnp.where(far, S, BIG), axis=0, keepdims=True)
+            valid = valid & ((ur <= 0.0)
+                             | (min_far * (100.0 - ur) >= m * 100.0))
         disp = db.astype(jnp.float32)
         if subpixel:
             onehot = diota == db
@@ -375,11 +378,12 @@ def _vup_wta_kernel(pens_ref, c_ref, sh_ref, sd_ref, disp_ref, *carries,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "shifts", "subpixel", "interpret"))
+    "shifts", "subpixel", "uniqueness_enabled", "interpret"))
 def vsweep_up_wta_t(C_T: jax.Array, S_hT: jax.Array, S_down: jax.Array,
                     shifts: Tuple[int, ...],
                     pens,
                     *, subpixel: bool = True, uniqueness_ratio=0.0,
+                    uniqueness_enabled: bool = True,
                     interpret: bool = False) -> jax.Array:
     """Bottom-up sweep + full-sum WTA. Returns (B, Hp, Wp) float32
     residual disparities with NODATA at invalid pixels."""
@@ -387,7 +391,8 @@ def vsweep_up_wta_t(C_T: jax.Array, S_hT: jax.Array, S_down: jax.Array,
     RB = _pick_rb(Hp)
     nb = Hp // RB
     kern = functools.partial(_vup_wta_kernel, shifts=shifts,
-                             D=D, Wp=Wp, RB=RB, subpixel=subpixel)
+                             D=D, Wp=Wp, RB=RB, subpixel=subpixel,
+                             uniq=uniqueness_enabled)
     pp = jnp.concatenate(
         [_pens_arr(pens),
          jnp.stack([jnp.asarray(uniqueness_ratio, jnp.float32),
@@ -418,6 +423,7 @@ def census_sgm_wta_t(clw: jax.Array, crw: jax.Array, D: int, *,
                      pens=None, p1=10.0, p2=120.0,
                      directions: int = 4, subpixel: bool = True,
                      uniqueness_ratio=0.0,
+                     uniqueness_enabled=None,
                      interpret: bool = False):
     """Full pipeline on transposed census words (NW, B, Wp, Hp).
 
@@ -451,9 +457,15 @@ def census_sgm_wta_t(clw: jax.Array, crw: jax.Array, D: int, *,
     up = [d for d in _UP if d in dirs]
     S_down = vsweep_down_t(C_T, tuple(d[1] for d in down),
                            tuple(pen[d] for d in down), interpret=interpret)
+    if uniqueness_enabled is None:
+        # plain-float margin: gate statically on its sign; traced margin
+        # with no explicit gate: must compile the filter in
+        uniqueness_enabled = (not isinstance(uniqueness_ratio, (int, float))
+                              or uniqueness_ratio > 0)
     disp = vsweep_up_wta_t(C_T, S_hT, S_down, tuple(d[1] for d in up),
                            tuple(pen[d] for d in up), subpixel=subpixel,
                            uniqueness_ratio=uniqueness_ratio,
+                           uniqueness_enabled=bool(uniqueness_enabled),
                            interpret=interpret)
     return disp, C
 

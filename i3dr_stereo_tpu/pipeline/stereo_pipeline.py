@@ -112,7 +112,8 @@ class StereoPipeline:
         base = tuple(getattr(cfg, f.name) for f in dataclasses.fields(cfg)
                      if f.name not in self.DYN_FIELDS)
         gates = (cfg.backmatch_distance >= 0, cfg.disp12_max_diff >= 0,
-                 cfg.disp12_max_diff > 0, cfg.texture_threshold > 0)
+                 cfg.disp12_max_diff > 0, cfg.texture_threshold > 0,
+                 cfg.uniqueness_ratio > 0)
         return (base, gates, self.cloud.save_points_as_binary,
                 self.compute_depth, self.compute_points, self.compute_crop)
 
