@@ -398,45 +398,49 @@ def bench_e2e_2448():
     end-to-end frames/s plus the ingest-only and per-stage compute rates
     so the transfer/compute split is visible.
 
-    Two compiled programs per frame (rectify | match+depth) with the
-    intermediate device-resident: this runtime's remote compile helper
-    cannot compile the single fused program at 2448x2048 (HTTP 500 — the
-    known big-program limit); the production deployment would fuse them.
+    One FUSED compiled program per frame — ingest -> banded bicubic
+    rectify -> pyramid SGM -> depth in a single XLA program
+    (StereoPipeline.process with realistic distorted calibrations; the
+    rectify maps ride as traced arguments, which is what makes this
+    compile: baked-in maps used to blow up the serialized program). The
+    per-stage rates are also measured standalone for the split readout.
     """
     import jax
     import jax.numpy as jnp
 
-    from i3dr_stereo_tpu.core.camera import StereoRig
+    import cv2 as _cv2
+
+    from i3dr_stereo_tpu.config.params import PointCloudConfig
+    from i3dr_stereo_tpu.core.camera import CameraModel, StereoRig
     from i3dr_stereo_tpu.core.frame import to_mono_f32
     from i3dr_stereo_tpu.io.synthetic import layered_scene
     from i3dr_stereo_tpu.matchers.registry import MATCHER_REGISTRY
     from i3dr_stereo_tpu.ops.depth import disparity_to_depth
-    from i3dr_stereo_tpu.ops.rectify import make_rectify_map, remap
-
-    import cv2 as _cv2
-
-    from i3dr_stereo_tpu.core.camera import CameraModel
+    from i3dr_stereo_tpu.ops.rectify import remap
 
     H, W = 2048, 2448
-    rig = StereoRig.synthetic(W, H, fx=2400.0, baseline_m=0.3)
     cfg = _flagship_cfg()
     impl = MATCHER_REGISTRY[cfg.algorithm]
     # REAL-shaped rectification (distortion + rotation), not the
     # synthetic identity map whose banded remap is unrealistically cheap
     _K = np.array([[2400.0, 0, 1224.0], [0, 2400.0, 1024.0], [0, 0, 1]])
     _D = np.array([-0.18, 0.06, 0.0008, -0.0006, 0.0])
-    _P = np.array([[2380.0, 0, 1220.0, 0], [0, 2380.0, 1022.0, 0],
-                   [0, 0, 1, 0]])
+    _Pl = np.array([[2380.0, 0, 1220.0, 0], [0, 2380.0, 1022.0, 0],
+                    [0, 0, 1, 0]])
+    _Pr = _Pl.copy()
+    _Pr[0, 3] = -2380.0 * 0.3      # Tx = -fx * B
     _Rl = _cv2.Rodrigues(np.array([0.004, -0.006, 0.002]))[0]
     _Rr = _cv2.Rodrigues(np.array([-0.003, 0.005, -0.002]))[0]
-    lmap = make_rectify_map(CameraModel(W, H, _K, _D, _Rl, _P),
-                            interpolation="cubic")
-    rmap = make_rectify_map(CameraModel(W, H, _K, _D, _Rr, _P),
-                            interpolation="cubic")
-    Q = jnp.asarray(rig.Q, dtype=jnp.float32)
+    rig = StereoRig(left=CameraModel(W, H, _K, _D, _Rl, _Pl),
+                    right=CameraModel(W, H, _K, _D, _Rr, _Pr))
+    from i3dr_stereo_tpu.pipeline.stereo_pipeline import StereoPipeline
 
-    # maps as ARGUMENTS (closure constants at this size blow up the
-    # serialized program — see StereoPipeline.step)
+    pipe = StereoPipeline(
+        rig=rig, config=cfg, rectify_inputs=True, compute_points=False,
+        cloud=PointCloudConfig(depth_max=100.0))
+    lmap, rmap = pipe._lmap, pipe._rmap
+    Q = pipe._Q
+
     rect = jax.jit(lambda l, r, lm, rm: (remap(to_mono_f32(l), lm),
                                          remap(to_mono_f32(r), rm)))
 
@@ -462,8 +466,7 @@ def bench_e2e_2448():
             L = jax.device_put(l)
             R = jax.device_put(r)
             if with_compute:
-                lr, rr = rect(L, R, lmap, rmap)
-                outs.append(match_depth(lr, rr).ravel()[0])
+                outs.append(pipe.process(L, R).depth.ravel()[0])
             else:
                 outs.append(L.ravel()[0].astype(jnp.float32)
                             + R.ravel()[0].astype(jnp.float32))
@@ -493,15 +496,13 @@ def bench_e2e_2448():
         "ingest_only_fps": round(1.0 / ingest, 2),
         "rectify_only_fps": round(1.0 / dt_rect, 2),
         "match_depth_only_fps": round(1.0 / dt_md, 2),
-        "note": "ingest = 2x 5MP uint8 host->device per frame inside "
-                "the timed loop — on THIS runtime that transfer rides a "
-                "remote-TPU dev tunnel (~tens of MB/s), which is the "
-                "binding constraint; deployed PCIe ingest runs GB/s, "
-                "leaving the compute split (banded bicubic rectify + "
-                "pyramid SGM + depth) as the honest rate. 2 "
-                "programs/frame (rectify | match+depth), intermediate "
-                "device-resident (see docstring re compile-helper "
-                "limit)",
+        "note": "ONE fused program per frame (ingest -> banded bicubic "
+                "rectify -> pyramid SGM -> depth). Ingest is 2x 5MP "
+                "uint8 host->device inside the timed loop — on THIS "
+                "runtime that transfer rides a remote-TPU dev tunnel "
+                "(~tens of MB/s), which is the binding constraint; "
+                "deployed PCIe ingest runs GB/s, leaving the per-stage "
+                "compute rates as the honest sustained figure.",
     }
 
 
