@@ -487,6 +487,12 @@ def bench_e2e_2448():
     dt_rect = _time_fn(rect, (l0, r0, lmap, rmap), iters=3, warmup=1)
     lr0, rr0 = rect(l0, r0, lmap, rmap)
     dt_md = _time_fn(match_depth, (lr0, rr0), iters=3, warmup=1)
+    # the FUSED program, device-resident (the deployed per-chip rate):
+    # time the cached compiled step directly so maps/dyn are loop args
+    step = next(iter(pipe._cache.values()))
+    dt_fused = _time_fn(
+        lambda l, r, dyn, lm, rm, q: step(l, r, dyn, lm, rm, q).depth,
+        (l0, r0, pipe._dyn_values(), lmap, rmap, Q), iters=3, warmup=1)
     fps = 1.0 / e2e
     return {
         "metric": "e2e_fps_2448x2048_ingest_rectify_pyramidSGM_depth",
@@ -496,6 +502,7 @@ def bench_e2e_2448():
         "ingest_only_fps": round(1.0 / ingest, 2),
         "rectify_only_fps": round(1.0 / dt_rect, 2),
         "match_depth_only_fps": round(1.0 / dt_md, 2),
+        "fused_compute_fps": round(1.0 / dt_fused, 2),
         "note": "ONE fused program per frame (ingest -> banded bicubic "
                 "rectify -> pyramid SGM -> depth). Ingest is 2x 5MP "
                 "uint8 host->device inside the timed loop — on THIS "

@@ -57,6 +57,7 @@ class BandedRemap:
     wh: jax.Array        # (CH, H8, W128) f32 horizontal channel weights
     ay: jax.Array        # (nblocks,) i32 padded-source row of channel 0
     ax: jax.Array        # (nblocks,) i32 padded-source col of channel 0
+    bands: jax.Array     # (nblocks*3,) i32 per-block (tlo, thi, shi)
     out_h: int = dataclasses.field(metadata=dict(static=True))
     out_w: int = dataclasses.field(metadata=dict(static=True))
 
@@ -129,15 +130,30 @@ def build_banded(by: np.ndarray, bx: np.ndarray, wy: np.ndarray,
     for j in range(taps):
         np.add.at(wv, (ry + j, ii, jj), wyp[..., j])
         np.add.at(wh, (rx + j, ii, jj), wxp[..., j])
+
+    # per-block channel BANDS: the global cv/ch are worst-block figures;
+    # most blocks populate a much narrower sub-band (their own local
+    # variation + taps). The kernel skips channels outside
+    # [tlo, thi) / [0, shi) per block — typically a 2-4x FLOP cut
+    def _band(r, lo_needed):
+        rb = r.reshape(nbr, ROWS, nbc, LANE)
+        lo = rb.min(axis=(1, 3)).reshape(-1)
+        hi = rb.max(axis=(1, 3)).reshape(-1) + taps
+        return (lo if lo_needed else None), hi
+
+    tlo, thi = _band(ry, True)
+    _, shi = _band(rx, False)
+    bands = np.stack([tlo, thi, shi], axis=1).reshape(-1)
     return BandedRemap(
         wv=jnp.asarray(wv), wh=jnp.asarray(wh),
         ay=jnp.asarray(ay.reshape(-1), jnp.int32),
         ax=jnp.asarray(ax.reshape(-1), jnp.int32),
+        bands=jnp.asarray(bands, jnp.int32),
         out_h=H, out_w=W)
 
 
-def _kernel(ay_ref, ax_ref, wv_ref, wh_ref, s00, s01, s10, s11, out_ref,
-            win_ref, rot_ref, *, CV, CH, RB, nbc):
+def _kernel(ay_ref, ax_ref, bands_ref, wv_ref, wh_ref, s00, s01, s10, s11,
+            out_ref, win_ref, rot_ref, acc_ref, *, CV, CH, RB, nbc):
     i = pl.program_id(1)
     j = pl.program_id(2)
     blk = i * nbc + j
@@ -163,18 +179,35 @@ def _kernel(ay_ref, ax_ref, wv_ref, wh_ref, s00, s01, s10, s11, out_ref,
         win_ref[pl.ds(r0, span), pl.ds(al, 3 * LANE)],
         3 * LANE - off, axis=1)
 
-    acc = jnp.zeros((ROWS, LANE), jnp.float32)
+    # per-block channel band: channels outside it carry all-zero weights
+    # — skip their work entirely (a scalar branch per t, far cheaper
+    # than CH wasted FMAs). Narrow horizontal bands take a half-unrolled
+    # inner loop; only the worst blocks pay the full CH sweep.
+    tlo = bands_ref[3 * blk]
+    thi = bands_ref[3 * blk + 1]
+    shi = bands_ref[3 * blk + 2]
+    acc_ref[:] = jnp.zeros((ROWS, LANE), jnp.float32)
+    CH2 = max(1, (CH + 1) // 2)
     for t in range(CV):
-        # rows t .. t+ROWS of the rotated window align channel t with
-        # the 8 output rows (static slices of VMEM scratch)
+        in_band = (t >= tlo) & (t < thi)
         seg = rot_ref[t:t + ROWS]
-        # factored separable form: one horizontal pass per channel t,
-        # then a single vertical weight — same exact sum, 1/3 fewer ops
-        inner = jnp.zeros((ROWS, LANE), jnp.float32)
-        for s in range(CH):
-            inner = inner + wh_ref[s] * seg[:, s:s + LANE]
-        acc = acc + wv_ref[t] * inner
-    out_ref[0] = acc
+        wv_t = wv_ref[t]
+
+        @pl.when(in_band & (shi <= CH2))
+        def _(seg=seg, wv_t=wv_t):
+            inner = jnp.zeros((ROWS, LANE), jnp.float32)
+            for s in range(CH2):
+                inner = inner + wh_ref[s] * seg[:, s:s + LANE]
+            acc_ref[:] = acc_ref[:] + wv_t * inner
+
+        @pl.when(in_band & (shi > CH2))
+        def _(seg=seg, wv_t=wv_t):
+            inner = jnp.zeros((ROWS, LANE), jnp.float32)
+            for s in range(CH):
+                inner = inner + wh_ref[s] * seg[:, s:s + LANE]
+            acc_ref[:] = acc_ref[:] + wv_t * inner
+
+    out_ref[0] = acc_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -201,30 +234,31 @@ def remap_banded(padded: jax.Array, bm: BandedRemap, *,
     def mosaic(oy, ox):
         return pl.BlockSpec(
             (1, RB, CB),
-            lambda b, i, j, ay, ax, _oy=oy, _ox=ox: (
+            lambda b, i, j, ay, ax, bands, _oy=oy, _ox=ox: (
                 b, ay[i * nbc + j] // RB + _oy, ax[i * nbc + j] // CB + _ox),
             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, nbr, nbc),
         in_specs=[
-            pl.BlockSpec((CV, ROWS, LANE), lambda b, i, j, ay, ax:
+            pl.BlockSpec((CV, ROWS, LANE), lambda b, i, j, *sr:
                          (0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, ROWS, LANE), lambda b, i, j, ay, ax:
+            pl.BlockSpec((CH, ROWS, LANE), lambda b, i, j, *sr:
                          (0, i, j), memory_space=pltpu.VMEM),
             mosaic(0, 0), mosaic(0, 1), mosaic(1, 0), mosaic(1, 1),
         ],
-        out_specs=pl.BlockSpec((1, ROWS, LANE), lambda b, i, j, ay, ax:
+        out_specs=pl.BlockSpec((1, ROWS, LANE), lambda b, i, j, *sr:
                                (b, i, j), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2 * RB, 2 * CB), jnp.float32),
                         pltpu.VMEM((((CV - 1) // ROWS + 2) * ROWS, 3 * LANE),
-                                   jnp.float32)],
+                                   jnp.float32),
+                        pltpu.VMEM((ROWS, LANE), jnp.float32)],
     )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H8, W128), jnp.float32),
         interpret=interpret,
-    )(bm.ay, bm.ax, bm.wv, bm.wh, srcp, srcp, srcp, srcp)
+    )(bm.ay, bm.ax, bm.bands, bm.wv, bm.wh, srcp, srcp, srcp, srcp)
     return out[:, :bm.out_h, :bm.out_w]

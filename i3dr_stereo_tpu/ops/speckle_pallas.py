@@ -148,17 +148,37 @@ def _kernel(*refs, CORE, HALO, S, tiled, H_real, W_real):
                      CORE=CORE, HALO=HALO, S=S, tiled=tiled)
 
 
+def _until_stable(body, x0, max_rounds):
+    """Iterate a MONOTONE window map to its fixpoint, at most max_rounds
+    times. Exact: once a round changes nothing, no later round can (all
+    the propagation maps here are monotone in their lattice), so early
+    exit returns the identical result — it just skips the dead rounds
+    that a fixed fori_loop would burn on already-converged windows
+    (typical scenes converge in a fraction of the S+2 worst case)."""
+    def cond(c):
+        i, _, changed = c
+        return (i < max_rounds) & changed
+
+    def step(c):
+        i, x, _ = c
+        nx = body(x)
+        return (i + 1, nx, jnp.any(nx != x))
+
+    _, x, _ = jax.lax.while_loop(cond, step, (0, x0, jnp.bool_(True)))
+    return x
+
+
 def _kernel_slow(d, v, conn, ri, ci, out_ref, *, CORE, HALO, S, tiled):
     WH, WW = d.shape
     pid = ri * WW + ci
     label0 = jnp.where(v, pid, _INF)
 
-    def lab_round(_, lab):
+    def lab_round(lab):
         for (dy, dx), m in zip(_DIRS, conn):
             lab = jnp.minimum(lab, jnp.where(m, _roll2(lab, dy, dx), _INF))
         return lab
 
-    label = jax.lax.fori_loop(0, S + 2, lab_round, label0)
+    label = _until_stable(lab_round, label0, S + 2)
 
     # contested: connected neighbours disagreeing on label (unconverged
     # region), or the window rim when the window truncates the image
@@ -177,13 +197,13 @@ def _kernel_slow(d, v, conn, ri, ci, out_ref, *, CORE, HALO, S, tiled):
     root = v & (label == pid)
     dist0 = jnp.where(root, 0, _INF)
 
-    def dist_round(_, dist):
+    def dist_round(dist):
         for (dy, dx), m in zip(_DIRS, conn_lab):
             dist = jnp.minimum(dist,
                                jnp.where(m, _roll2(dist, dy, dx) + 1, _INF))
         return dist
 
-    dist = jax.lax.fori_loop(0, S + 2, dist_round, dist0)
+    dist = _until_stable(dist_round, dist0, S + 2)
 
     # parent direction: first neighbour one BFS step closer (-1 = none)
     pd = jnp.full((WH, WW), -1, jnp.int32)
@@ -214,18 +234,33 @@ def _kernel_slow(d, v, conn, ri, ci, out_ref, *, CORE, HALO, S, tiled):
         f = jnp.maximum(f, finc)
         return m, cnt, tail, f
 
-    _, cnt, tail, f = jax.lax.fori_loop(
-        0, S + 2, mass_round, (m0, cnt0, jnp.zeros((WH, WW), jnp.int32), f0))
+    # early exit once the drain is dry: m all-zero means every pixel was
+    # already tallied in < S rounds (tail stays 0 — "settled" — exactly
+    # what full iteration would have produced) and the contested flag f
+    # has reached its fixpoint along the same drained paths
+    def mass_cond(c):
+        t, (m, cnt, tail, f), fprev = c
+        return (t < S + 2) & (jnp.any(m > 0) | jnp.any(f != fprev))
+
+    def mass_step(c):
+        t, carry, _ = c
+        fprev = carry[3]
+        return (t + 1, mass_round(t, carry), fprev)
+
+    _, (_, cnt, tail, f), _ = jax.lax.while_loop(
+        mass_cond, mass_step,
+        (0, (m0, cnt0, jnp.zeros((WH, WW), jnp.int32), f0),
+         jnp.full((WH, WW), -1, jnp.int32)))
 
     # int32 carry: Mosaic has no rotate for 1-bit vectors
     rm = (root & (tail == 0) & (f == 0) & (cnt <= S)).astype(jnp.int32)
 
-    def bc_round(_, r):
+    def bc_round(r):
         for (dy, dx), m in zip(_DIRS, conn_lab):
             r = jnp.maximum(r, jnp.where(m, _roll2(r, dy, dx), 0))
         return r
 
-    rm = jax.lax.fori_loop(0, S + 2, bc_round, rm)
+    rm = _until_stable(bc_round, rm, S + 2)
     keep = (v & (rm == 0)).astype(jnp.float32)
     if tiled:
         out_ref[0] = keep[HALO:HALO + CORE, HALO:HALO + CORE]

@@ -161,11 +161,41 @@ def check_fused_cost_sgm() -> dict:
             "pass": ok}
 
 
+def check_banded_remap() -> dict:
+    """Banded Pallas remap vs the gather formulation on hardware — an
+    exact algebraic regrouping, so the gate is bit-level (<= 1e-3 for
+    float re-association) on a strongly distorted full-res map."""
+    import cv2
+
+    from i3dr_stereo_tpu.core.camera import CameraModel
+    from i3dr_stereo_tpu.ops.rectify import make_rectify_map, remap
+
+    H, W = 1024, 1280
+    K = np.array([[1200.0, 0, W / 2], [0, 1200.0, H / 2], [0, 0, 1]])
+    D = np.array([-0.18, 0.06, 0.0008, -0.0006, 0.0])
+    R = cv2.Rodrigues(np.array([0.004, -0.006, 0.002]))[0]
+    P = np.array([[1190.0, 0, W / 2 - 2, 0], [0, 1190.0, H / 2 + 1, 0],
+                  [0, 0, 1, 0]])
+    m = make_rectify_map(CameraModel(W, H, K, D, R, P),
+                         interpolation="cubic")
+    img = jax.device_put(np.random.default_rng(0)
+                         .uniform(0, 255, (H, W)).astype(np.float32))
+    os.environ["I3DR_REMAP_BACKEND"] = "banded"
+    yb = remap(img, m)
+    os.environ["I3DR_REMAP_BACKEND"] = "gather"
+    yg = remap(img, m)
+    os.environ.pop("I3DR_REMAP_BACKEND", None)
+    diff = float(jnp.abs(yb - yg).max())
+    return {"kernel": "remap_banded", "shape": f"{W}x{H}_cubic_distorted",
+            "max_abs_diff": round(diff, 6), "pass": diff <= 1e-3}
+
+
 def main(out_path: str = "PARITY_TPU_r03.json") -> None:
     assert jax.default_backend() != "cpu", (
         "run on the TPU (this artifact exists to catch hardware drift)")
     rows = [check_fused_t(), check_right_disparity(), check_speckle(),
-            check_block_gather(), check_fused_cost_sgm()]
+            check_block_gather(), check_fused_cost_sgm(),
+            check_banded_remap()]
     doc = {"backend": jax.default_backend(),
            "all_pass": all(r["pass"] for r in rows), "rows": rows}
     with open(out_path, "w") as f:
