@@ -180,6 +180,7 @@ class _Block:
     resend_rounds: int = 0
     created: float = 0.0             # monotonic
     last_request: float = 0.0
+    last_update: float = 0.0         # monotonic time of last packet
 
 
 class GVSPReceiver:
@@ -222,6 +223,12 @@ class GVSPReceiver:
                       "resend_requests": 0, "recovered": 0}
         self._blocks: Dict[int, _Block] = {}
         self._closed = False
+        # service incomplete blocks from the RECEIVE path too: on a
+        # continuously busy lossy stream the socket never times out, so
+        # timeout-tick-only servicing would let trailer-less blocks
+        # accumulate forever (advisor round-4 finding)
+        self._service_interval = min(self.timeout, 0.05)
+        self._last_service = time.monotonic()
 
     def _parse(self, data: bytes):
         # GVSP GEV 1.x header: status(2), block_id(2), fmt+packet_id(4)
@@ -294,15 +301,23 @@ class GVSPReceiver:
             self.stats["dropped"] += 1
         return frame
 
-    def _service_pending(self, now: float) -> None:
-        """Re-request or evict incomplete blocks (called on quiet
-        receive-timeout ticks). Guarantees bounded memory on a lossy
-        link: every block either completes, exhausts its resend budget
-        (one round per tick), or ages out at ``block_ttl``."""
+    def _service_pending(self, now: float, min_idle: float = 0.0) -> None:
+        """Re-request or evict incomplete blocks. Called on quiet
+        receive-timeout ticks (min_idle=0: the link is silent, every
+        block is stalled) AND periodically from the receive path with
+        ``min_idle`` set, so a continuously busy lossy stream still
+        bounds memory: blocks actively receiving packets are left
+        alone; stalled ones either complete via resend, exhaust their
+        budget, or age out at ``block_ttl``."""
+        self._last_service = now
         for bid in list(self._blocks):
             blk = self._blocks[bid]
-            if now - blk.created > self.block_ttl or \
-                    not self._request_missing(bid, blk, now):
+            if now - blk.created > self.block_ttl:
+                del self._blocks[bid]
+                self.stats["dropped"] += 1
+            elif now - blk.last_update < min_idle:
+                continue  # in-flight: don't resend for packets still arriving
+            elif not self._request_missing(bid, blk, now):
                 del self._blocks[bid]
                 self.stats["dropped"] += 1
 
@@ -333,6 +348,7 @@ class GVSPReceiver:
             blk = self._blocks.get(bid)
             if blk is None:
                 blk = self._blocks[bid] = _Block(created=last_rx)
+            blk.last_update = last_rx
             if fmt == _FMT_LEADER:
                 # leader payload: reserved(2), payload_type(2),
                 # timestamp(8), pixel_format(4), size_x(4), size_y(4),
@@ -354,6 +370,9 @@ class GVSPReceiver:
                 if not self._request_missing(bid, blk, last_rx):
                     del self._blocks[bid]
                     self.stats["dropped"] += 1
+            if last_rx - self._last_service > self._service_interval:
+                self._service_pending(last_rx,
+                                      min_idle=self._service_interval)
 
     def _assemble(self, bid: int, blk: _Block) -> Optional[Stamped]:
         if blk.leader is None or blk.trailer_id is None:

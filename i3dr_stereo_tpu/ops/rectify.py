@@ -104,11 +104,17 @@ class RectifyMap:
 
 
 def make_rectify_map(cam: CameraModel, *, interpolation: str = "cubic",
-                     map_xy: tuple[np.ndarray, np.ndarray] | None = None) -> RectifyMap:
+                     map_xy: tuple[np.ndarray, np.ndarray] | None = None,
+                     banded: bool | None = None) -> RectifyMap:
     """Build the device-side remap structure (host, once).
 
     ``map_xy`` overrides the calibration-derived inverse map — used for
     generic remap applications (e.g. unit tests, custom warps).
+    ``banded`` forces (True) / suppresses (False) building the
+    channelized form consumed by the Pallas kernel; the default (None)
+    builds it only when the resolved backend would use it, so CPU
+    sessions never pay the (CV+CH, H8, W128) float32 channel-weight
+    upload.
     """
     if map_xy is None:
         map_x, map_y = inverse_rectify_map_xy(cam)
@@ -140,10 +146,15 @@ def make_rectify_map(cam: CameraModel, *, interpolation: str = "cubic",
     bx = np.clip(base_x + pad, 0, src_w + 2 * pad - taps)
     by = np.clip(base_y + pad, 0, src_h + 2 * pad - taps)
     flat = (by * (src_w + 2 * pad) + bx).astype(np.int32)
-    from i3dr_stereo_tpu.ops.rectify_pallas import build_banded
+    if banded is None:
+        banded = _remap_backend().startswith("banded")
+    if banded:
+        from i3dr_stereo_tpu.ops.rectify_pallas import build_banded
 
-    banded = build_banded(by.astype(np.int64), bx.astype(np.int64),
-                          wx=wx, wy=wy, src_h=src_h, src_w=src_w, pad=pad)
+        banded = build_banded(by.astype(np.int64), bx.astype(np.int64),
+                              wx=wx, wy=wy, src_h=src_h, src_w=src_w, pad=pad)
+    else:
+        banded = None
     return RectifyMap(
         flat_idx=jnp.asarray(flat),
         wx=jnp.asarray(wx, dtype=jnp.float32),
@@ -171,8 +182,8 @@ def _remap_backend() -> str:
     return "banded" if platform == "tpu" else "gather"
 
 
-@partial(jax.jit, static_argnames=())
-def remap(image: jax.Array, rmap: RectifyMap) -> jax.Array:
+def remap(image: jax.Array, rmap: RectifyMap, *,
+          backend: str | None = None) -> jax.Array:
     """Apply the precomputed map to a (H, W) or (B, H, W) image.
 
     On TPU (when the map channelizes — every real calibration) the
@@ -180,21 +191,42 @@ def remap(image: jax.Array, rmap: RectifyMap) -> jax.Array:
     (linear) flat gathers with separable weights, fused under jit. The
     two paths are exact reformulations of the same stencil (tests
     assert agreement to float rounding).
+
+    The backend is resolved HERE, in Python, outside any jit — each
+    call (or each outer-jit trace when this is called from a traced
+    pipeline) re-reads ``I3DR_REMAP_BACKEND`` and dispatches to a
+    per-backend compiled implementation, so flipping the override
+    genuinely switches programs rather than hitting a stale jit cache.
+    ``backend`` overrides the env var for this call.
     """
+    b = backend or _remap_backend()
+    if rmap.banded is not None and b.startswith("banded"):
+        return _remap_banded_impl(image, rmap,
+                                  interpret=b == "banded_interpret")
+    return _remap_gather_impl(image, rmap)
+
+
+def _pad_input(image: jax.Array, rmap: RectifyMap):
     batched = image.ndim == 3
     img = image if batched else image[None]
     img = img.astype(jnp.float32)
     p = rmap.pad
-    padded = jnp.pad(img, ((0, 0), (p, p), (p, p)), mode="edge")
+    return jnp.pad(img, ((0, 0), (p, p), (p, p)), mode="edge"), batched
 
-    backend = _remap_backend()
-    if rmap.banded is not None and backend.startswith("banded"):
-        from i3dr_stereo_tpu.ops.rectify_pallas import remap_banded
 
-        out = remap_banded(padded, rmap.banded,
-                           interpret=backend == "banded_interpret")
-        return out if batched else out[0]
+@partial(jax.jit, static_argnames=("interpret",))
+def _remap_banded_impl(image: jax.Array, rmap: RectifyMap, *,
+                       interpret: bool = False) -> jax.Array:
+    from i3dr_stereo_tpu.ops.rectify_pallas import remap_banded
 
+    padded, batched = _pad_input(image, rmap)
+    out = remap_banded(padded, rmap.banded, interpret=interpret)
+    return out if batched else out[0]
+
+
+@jax.jit
+def _remap_gather_impl(image: jax.Array, rmap: RectifyMap) -> jax.Array:
+    padded, batched = _pad_input(image, rmap)
     B = padded.shape[0]
     flat = padded.reshape(B, -1)
     W = rmap.padded_w

@@ -86,24 +86,65 @@ def test_batched_remap():
     np.testing.assert_allclose(out, imgs, atol=1e-3)
 
 
-def test_banded_pallas_matches_gather_path(monkeypatch):
+def test_banded_pallas_matches_gather_path():
     """The gather-free banded Pallas remap (ops/rectify_pallas.py) is an
     exact algebraic regrouping of the gather formulation — identical
     output on a strongly distorted calibration (both interpolations,
-    batched too)."""
+    batched too). Both paths are genuinely executed: the backend is an
+    explicit per-call argument dispatching to distinct compiled impls
+    (the old env-var flip was invisible to a jitted remap's cache)."""
     cam = _distorted_cam()
     img = _checker(240, 320)
     for interp in ("cubic", "linear"):
-        m = make_rectify_map(cam, interpolation=interp)
+        m = make_rectify_map(cam, interpolation=interp, banded=True)
         assert m.banded is not None   # real calibrations channelize
-        monkeypatch.setenv("I3DR_REMAP_BACKEND", "banded_interpret")
-        out_b = np.asarray(remap(img, m))
-        out_b2 = np.asarray(remap(np.stack([img, img * 0.5]), m))
-        monkeypatch.setenv("I3DR_REMAP_BACKEND", "gather")
-        out_g = np.asarray(remap(img, m))
+        out_b = np.asarray(remap(img, m, backend="banded_interpret"))
+        out_b2 = np.asarray(remap(np.stack([img, img * 0.5]), m,
+                                  backend="banded_interpret"))
+        out_g = np.asarray(remap(img, m, backend="gather"))
+        assert not np.shares_memory(out_b, out_g)
         np.testing.assert_allclose(out_b, out_g, atol=1e-3)
         np.testing.assert_allclose(out_b2[0], out_g, atol=1e-3)
         np.testing.assert_allclose(out_b2[1], 0.5 * out_g, atol=1e-3)
+
+
+def test_remap_env_override_not_stale(monkeypatch):
+    """Flipping I3DR_REMAP_BACKEND between calls takes effect (advisor
+    round-4 high finding: the resolution used to live inside a jitted
+    function, so later flips silently hit the first trace's cache).
+    Gather vs banded_interpret produce equal values; the dispatcher is
+    exercised by asserting each call goes through its own impl."""
+    import i3dr_stereo_tpu.ops.rectify as R
+
+    cam = _distorted_cam()
+    img = _checker(240, 320)
+    m = make_rectify_map(cam, interpolation="linear", banded=True)
+    calls = []
+    orig_b, orig_g = R._remap_banded_impl, R._remap_gather_impl
+    monkeypatch.setattr(R, "_remap_banded_impl",
+                        lambda *a, **k: calls.append("banded") or orig_b(*a, **k))
+    monkeypatch.setattr(R, "_remap_gather_impl",
+                        lambda *a, **k: calls.append("gather") or orig_g(*a, **k))
+    monkeypatch.setenv("I3DR_REMAP_BACKEND", "banded_interpret")
+    out_b = np.asarray(R.remap(img, m))
+    monkeypatch.setenv("I3DR_REMAP_BACKEND", "gather")
+    out_g = np.asarray(R.remap(img, m))
+    assert calls == ["banded", "gather"]
+    np.testing.assert_allclose(out_b, out_g, atol=1e-3)
+
+
+def test_cpu_default_skips_banded_build():
+    """On non-TPU backends the channelized form is never used — the
+    default map build must not pay for it (advisor round-4 low)."""
+    import jax
+
+    if jax.default_backend() == "tpu":  # pragma: no cover
+        import pytest
+
+        pytest.skip("default backend builds banded on TPU by design")
+    cam = _distorted_cam()
+    m = make_rectify_map(cam, interpolation="cubic")
+    assert m.banded is None
 
 
 def test_banded_build_rejects_wild_maps():

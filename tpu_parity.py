@@ -177,14 +177,14 @@ def check_banded_remap() -> dict:
     P = np.array([[1190.0, 0, W / 2 - 2, 0], [0, 1190.0, H / 2 + 1, 0],
                   [0, 0, 1, 0]])
     m = make_rectify_map(CameraModel(W, H, K, D, R, P),
-                         interpolation="cubic")
+                         interpolation="cubic", banded=True)
     img = jax.device_put(np.random.default_rng(0)
                          .uniform(0, 255, (H, W)).astype(np.float32))
-    os.environ["I3DR_REMAP_BACKEND"] = "banded"
-    yb = remap(img, m)
-    os.environ["I3DR_REMAP_BACKEND"] = "gather"
-    yg = remap(img, m)
-    os.environ.pop("I3DR_REMAP_BACKEND", None)
+    # explicit per-call backends: each dispatches to its own compiled
+    # impl (the old env-var flip around a jitted remap compared the
+    # banded output against its own cache — a vacuous self-comparison)
+    yb = remap(img, m, backend="banded")
+    yg = remap(img, m, backend="gather")
     diff = float(jnp.abs(yb - yg).max())
     return {"kernel": "remap_banded", "shape": f"{W}x{H}_cubic_distorted",
             "max_abs_diff": round(diff, 6), "pass": diff <= 1e-3}
