@@ -160,12 +160,13 @@ def cmd_live(args) -> int:
         import threading
         import time as _time
 
-        from i3dr_stereo_tpu.viz.serve import OperatorServer
+        from i3dr_stereo_tpu.viz.serve import OperatorServer, make_view_server
 
         node = lg.node("generate_disparity")
         srv = OperatorServer(viewer.render,
                              {"disparity": node.disparity_cfg,
-                              "cloud": node.cloud_cfg},
+                              "cloud": node.cloud_cfg,
+                              "view": make_view_server(viewer)},
                              port=args.port).start()
         print(json.dumps({"serving": srv.url}), flush=True)
 

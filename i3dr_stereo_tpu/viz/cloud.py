@@ -38,6 +38,7 @@ def render_cloud(xyz: np.ndarray, rgb: Optional[np.ndarray] = None, *,
                  width: int = 640, height: int = 480,
                  elev: float = 15.0, azim: float = -35.0,
                  distance: Optional[float] = None,
+                 zoom: float = 1.0,
                  point_size: int = 2,
                  background: int = 16,
                  max_points: int = 2_000_000) -> np.ndarray:
@@ -63,6 +64,7 @@ def render_cloud(xyz: np.ndarray, rgb: Optional[np.ndarray] = None, *,
     extent = float(np.percentile(np.linalg.norm(pts, axis=1), 95)) + 1e-6
     if distance is None:
         distance = max(2.6 * extent, 1e-2)
+    distance = distance / max(float(zoom), 1e-3)   # orbit-camera dolly
     z = pts[:, 2] + distance
     vis = z > 1e-3
     pts, z = pts[vis], z[vis]

@@ -35,10 +35,10 @@ import numpy as np
 
 _PAGE = """<!doctype html><title>i3dr_stereo_tpu operator</title>
 <style>body{font-family:sans-serif;background:#111;color:#eee;margin:1em}
-img{max-width:70vw;border:1px solid #444}
+img{max-width:70vw;border:1px solid #444;cursor:grab;user-select:none}
 .panel{display:inline-block;vertical-align:top;margin-left:1em}
 label{display:block;margin:4px 0}</style>
-<img src="/stream">
+<img id="view" src="/stream" draggable="false">
 <div class="panel"><h3>parameters</h3><div id="params"></div></div>
 <script>
 async function load(){
@@ -56,9 +56,70 @@ async function load(){
    l.appendChild(i); el.appendChild(l);
   }
  }
+ return d;
 }
-load();
+// drag-to-orbit on the montage (the VTK-interactor analog,
+// src/stereo_gui.cpp:25): horizontal drag = azimuth, vertical = elevation;
+// wheel = zoom. No-ops unless a "view" server is bound.
+let vstate = null;
+load().then(d => { if (d.view) vstate = {...d.view.values}; });
+const img = document.getElementById('view');
+let drag = null;
+img.onmousedown = e => { drag = [e.clientX, e.clientY]; };
+window.onmouseup = () => { drag = null; };
+window.onmousemove = async e => {
+ if (!drag || !vstate) return;
+ const dx = e.clientX - drag[0], dy = e.clientY - drag[1];
+ drag = [e.clientX, e.clientY];
+ vstate.azim = Math.max(-180, Math.min(180, vstate.azim + dx * 0.5));
+ vstate.elev = Math.max(-90, Math.min(90, vstate.elev + dy * 0.5));
+ fetch('/set?server=view&azim='+vstate.azim+'&elev='+vstate.elev);
+};
+img.onwheel = e => {
+ if (!vstate) return; e.preventDefault();
+ vstate.zoom = Math.max(0.2, Math.min(5,
+   vstate.zoom * (e.deltaY < 0 ? 1.1 : 0.9)));
+ fetch('/set?server=view&zoom='+vstate.zoom);
+};
 </script>"""
+
+
+def make_view_server(viewer):
+    """A reconfigure server steering the cloud pane's orbit camera — the
+    operator-facing analog of the reference GUI's VTK interactor
+    (src/stereo_gui.cpp:25) and the rviz scene viewpoints. Binds to a
+    :class:`~i3dr_stereo_tpu.viz.viewer.StereoViewer`; expose it as the
+    ``view`` server so the page's drag-to-orbit JS finds it."""
+    from i3dr_stereo_tpu.bridge.reconfigure import ParamDesc, ReconfigureServer
+    from i3dr_stereo_tpu.viz.cloud import VIEWPOINTS
+
+    names = list(VIEWPOINTS)
+    schema = [
+        ParamDesc("preset", "enum", 0, 0, len(names) - 1,
+                  {n: i for i, n in enumerate(names)}, "canned viewpoint"),
+        ParamDesc("elev", "double", viewer.cloud_elev, -90.0, 90.0,
+                  None, "orbit elevation, degrees"),
+        ParamDesc("azim", "double", viewer.cloud_azim, -180.0, 180.0,
+                  None, "orbit azimuth, degrees"),
+        ParamDesc("zoom", "double", 1.0, 0.2, 5.0, None, "dolly factor"),
+        ParamDesc("point_size", "int", 2, 1, 9, None, "splat size, px"),
+    ]
+
+    srv = ReconfigureServer(schema, None)
+
+    def on_change(values, changed):
+        if "preset" in changed:
+            # preset selection writes the angles back into the server so
+            # the panel (and the drag JS state) see the new orientation
+            e, a = VIEWPOINTS[names[values["preset"]]]
+            srv.values["elev"], srv.values["azim"] = e, a
+        viewer.cloud_elev = srv.values["elev"]
+        viewer.cloud_azim = srv.values["azim"]
+        viewer.cloud_zoom = srv.values["zoom"]
+        viewer.cloud_point_size = srv.values["point_size"]
+
+    srv._cb = on_change
+    return srv
 
 
 class OperatorServer:

@@ -62,6 +62,8 @@ class StereoViewer(Node):
         self._interactive = interactive and bool(os.environ.get("DISPLAY"))
         self._fig = None
         self.cloud_elev, self.cloud_azim = 15.0, -35.0
+        self.cloud_zoom = 1.0
+        self.cloud_point_size = 2
         self.subscribe("left/image_raw", lambda s, d: self._set("raw", d))
         self.subscribe("left/image_rect", lambda s, d: self._set("rect", d))
         self.subscribe("disparity", lambda s, d: self._set("disp", d))
@@ -98,7 +100,10 @@ class StereoViewer(Node):
             w = ref.shape[1] if ref is not None else 640
             panes.append((render_cloud(xyz, rgb, width=w, height=h,
                                        elev=self.cloud_elev,
-                                       azim=self.cloud_azim), "points2"))
+                                       azim=self.cloud_azim,
+                                       zoom=self.cloud_zoom,
+                                       point_size=self.cloud_point_size),
+                          "points2"))
         return montage(panes) if panes else None
 
     def set_viewpoint(self, name_or_angles) -> None:
