@@ -418,7 +418,8 @@ class GigECameraSource:
                  height: int = 2048, fps: float = 5.0,
                  stream_bind: Tuple[str, int] = ("0.0.0.0", 0),
                  timeout: float = 1.0, packet_size: int = 2996,
-                 heartbeat_ms: int = 3000, on_timeout: str = "stop"):
+                 heartbeat_ms: int = 3000, on_timeout: str = "stop",
+                 backend: str = "python"):
         self.ctrl = GVCPClient(address, timeout=timeout)
         self.identity = self.ctrl.discover()
         self.width, self.height, self.fps = width, height, fps
@@ -431,10 +432,28 @@ class GigECameraSource:
         # 4. packet size negotiation: ask, then accept what it took
         self.ctrl.write_reg(REG_SCPS, packet_size)
         self.packet_size = self.ctrl.read_reg(REG_SCPS) & 0xFFFF
-        # 5. stream destination: our IP + bound port
-        self.receiver = GVSPReceiver(stream_bind, timeout=timeout,
-                                     resend=self.ctrl.packet_resend,
-                                     on_timeout=on_timeout)
+        # 5. stream destination: our IP + bound port. backend="native"
+        # runs the per-packet hot loop in C++ (native/gvsp_rx.cpp) —
+        # required to hold the 2x 5MP x 5FPS operating point (~34k
+        # pkts/s total; pure Python tops out ~2/3 of it); "auto" uses
+        # native when the toolchain can build it. The Python receiver
+        # remains the reference implementation.
+        if backend == "auto":
+            from i3dr_stereo_tpu.native.gvsp import native_available
+
+            backend = "native" if native_available() else "python"
+        self.backend = backend
+        if backend == "native":
+            from i3dr_stereo_tpu.native.gvsp import NativeGVSPReceiver
+
+            self.receiver = NativeGVSPReceiver(
+                stream_bind, timeout=timeout,
+                resend=self.ctrl.packet_resend, on_timeout=on_timeout,
+                max_frame_bytes=width * height * 2)
+        else:
+            self.receiver = GVSPReceiver(stream_bind, timeout=timeout,
+                                         resend=self.ctrl.packet_resend,
+                                         on_timeout=on_timeout)
         ip = self.ctrl.local_ip_towards_camera()
         self.ctrl.write_reg(REG_SCDA,
                             struct.unpack(">I", socket.inet_aton(ip))[0])

@@ -267,3 +267,123 @@ def test_stale_blocks_age_out():
     finally:
         emu.close()
         rx.close()
+
+
+# --------------------------------------------------------------------------
+# native GVSP engine (native/gvsp_rx.cpp): same semantics, wire-rate CPU
+# --------------------------------------------------------------------------
+
+
+def _native_ok():
+    try:
+        from i3dr_stereo_tpu.native.gvsp import native_available
+
+        return native_available()
+    except Exception:
+        return False
+
+
+native = pytest.mark.skipif(not _native_ok(), reason="no g++ toolchain")
+
+
+@native
+def test_native_rx_roundtrip_and_16bit():
+    """Bit-exact reassembly through the C++ hot loop, 8- and 16-bit."""
+    emu = GigECameraEmulator(enforce_control=True, max_packet=1500)
+    try:
+        src = GigECameraSource(emu.address, width=64, height=48,
+                               packet_size=1500, timeout=0.3,
+                               backend="native")
+        img = (np.arange(48 * 64, dtype=np.uint8) % 250).reshape(48, 64)
+        for i in range(3):
+            emu.send_frame(img + i, block_id=i + 1)
+        got = list(src.frames())
+        assert [f.seq for f in got] == [1, 2, 3]
+        for i, f in enumerate(got):
+            np.testing.assert_array_equal(f.data, img + i)
+        src.close()
+    finally:
+        emu.close()
+    emu = GigECameraEmulator(enforce_control=True, max_packet=1500)
+    try:
+        src = GigECameraSource(emu.address, width=40, height=32,
+                               packet_size=360, timeout=0.3,
+                               backend="native")
+        img16 = (np.arange(32 * 40, dtype=np.uint16) * 17 % 4096
+                 ).reshape(32, 40)
+        emu.send_frame(img16, block_id=9)
+        got = list(src.frames())
+        assert len(got) == 1 and got[0].data.dtype == np.uint16
+        np.testing.assert_array_equal(got[0].data, img16)
+        src.close()
+    finally:
+        emu.close()
+
+
+@native
+def test_native_rx_lossy_recovers():
+    """2% loss incl. leaders/trailers, lossy resends: the native engine's
+    missing-run polling + Python GVCP resend closes every hole (same
+    scenario as the Python receiver's gate above)."""
+    emu = GigECameraEmulator(enforce_control=True, loss_rate=0.02,
+                             resend_lossy=True, seed=7)
+    try:
+        src = GigECameraSource(emu.address, width=64, height=48,
+                               packet_size=264, timeout=0.4,
+                               backend="native")
+        n = 50
+        rng = np.random.default_rng(1)
+        imgs = [rng.integers(0, 255, (48, 64), np.uint8) for _ in range(n)]
+        for i, img in enumerate(imgs):
+            emu.send_frame(img, block_id=i + 1)
+            time.sleep(0.002)   # resend round-trips need service ticks
+        got = {f.seq: f for f in src.frames()}
+        st = src.receiver.stats
+        assert st["resend_requests"] > 0 and st["recovered"] > 0
+        assert len(got) >= int(0.95 * n), (len(got), st)
+        for i, img in enumerate(imgs):
+            if i + 1 in got:
+                np.testing.assert_array_equal(got[i + 1].data, img)
+        src.close()
+    finally:
+        emu.close()
+
+
+@native
+def test_native_rx_reordered_stream():
+    emu = GigECameraEmulator(enforce_control=True, reorder=True, seed=3)
+    try:
+        src = GigECameraSource(emu.address, width=40, height=32,
+                               packet_size=200, timeout=0.3,
+                               backend="native")
+        img = (np.arange(32 * 40, dtype=np.uint8) % 240).reshape(32, 40)
+        for i in range(5):
+            emu.send_frame(img, block_id=i + 1)
+        got = list(src.frames())
+        assert len(got) == 5
+        for f in got:
+            np.testing.assert_array_equal(f.data, img)
+        src.close()
+    finally:
+        emu.close()
+
+
+@native
+def test_native_rx_stale_blocks_age_out():
+    from i3dr_stereo_tpu.native.gvsp import NativeGVSPReceiver
+
+    rx = NativeGVSPReceiver(timeout=0.2, max_frame_bytes=1 << 16)
+    emu = GigECameraEmulator()
+    try:
+        img = np.zeros((16, 16), np.uint8)
+        emu.send_frame(img, ("127.0.0.1", rx.port), block_id=1,
+                       payload_size=200, drop_packet=3)   # no trailer
+        t0 = time.monotonic()
+        frames = list(rx.frames())
+        assert frames == []
+        st = rx.stats
+        assert st["dropped"] >= 1 and st["pending"] == 0
+        assert time.monotonic() - t0 < 5.0
+    finally:
+        emu.close()
+        rx.close()
