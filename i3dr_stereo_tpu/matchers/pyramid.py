@@ -133,9 +133,11 @@ def profile_from_config(cfg: MatcherConfig, st=None) -> SGMProfile:
             prediction_shift=0.0,
             uniqueness_ratio=cfg.uniqueness_ratio,
             # the flat config's interp knob means the cv-style WLS chain
-            # (cfg/i3DR_Disparity.cfg:38); engine .param profiles keep
-            # their own "Interpolator Mode = Gauss"
-            interpolator_mode="wls",
+            # (cfg/i3DR_Disparity.cfg:38); interpolate_missing is the
+            # engine's neighbourhood fill ("Interpolator Mode = Gauss",
+            # quick.param:111-117); engine .param profiles carry their
+            # own mode
+            interpolator_mode="wls" if cfg.interp else "gauss",
         ))
     return SGMProfile(name="from_config", levels=tuple(levels))
 

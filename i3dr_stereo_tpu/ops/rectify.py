@@ -206,10 +206,11 @@ def remap(image: jax.Array, rmap: RectifyMap, *,
     return _remap_gather_impl(image, rmap)
 
 
-def _pad_input(image: jax.Array, rmap: RectifyMap):
+def _pad_input(image: jax.Array, rmap: RectifyMap, keep_u8: bool = False):
     batched = image.ndim == 3
     img = image if batched else image[None]
-    img = img.astype(jnp.float32)
+    if not (keep_u8 and img.dtype == jnp.uint8):
+        img = img.astype(jnp.float32)
     p = rmap.pad
     return jnp.pad(img, ((0, 0), (p, p), (p, p)), mode="edge"), batched
 
@@ -219,7 +220,9 @@ def _remap_banded_impl(image: jax.Array, rmap: RectifyMap, *,
                        interpret: bool = False) -> jax.Array:
     from i3dr_stereo_tpu.ops.rectify_pallas import remap_banded
 
-    padded, batched = _pad_input(image, rmap)
+    # uint8 sources ride the DMA as 1 byte/px and convert in VMEM —
+    # exact same values, 1/4 the mosaic traffic (rectify_pallas doc)
+    padded, batched = _pad_input(image, rmap, keep_u8=True)
     out = remap_banded(padded, rmap.banded, interpret=interpret)
     return out if batched else out[0]
 

@@ -158,11 +158,19 @@ def _kernel(ay_ref, ax_ref, bands_ref, wv_ref, wh_ref, s00, s01, s10, s11,
     j = pl.program_id(2)
     blk = i * nbc + j
 
-    # assemble the (2RB x 512) source window from the 2x2 aligned mosaic
-    win_ref[:RB, :CB] = s00[0]
-    win_ref[:RB, CB:] = s01[0]
-    win_ref[RB:, :CB] = s10[0]
-    win_ref[RB:, CB:] = s11[0]
+    # assemble the (2RB x 512) source window from the 2x2 aligned mosaic;
+    # uint8 sources convert here, AFTER the DMA — the HBM traffic of the
+    # mosaic is then 1/4 of the f32 formulation (values are identical:
+    # u8 -> f32 is exact; Mosaic needs the i32 hop for the cast)
+    def _f32(x):
+        if x.dtype == jnp.float32:
+            return x
+        return x.astype(jnp.int32).astype(jnp.float32)
+
+    win_ref[:RB, :CB] = _f32(s00[0])
+    win_ref[:RB, CB:] = _f32(s01[0])
+    win_ref[RB:, :CB] = _f32(s10[0])
+    win_ref[RB:, CB:] = _f32(s11[0])
 
     # ay is ROWS-aligned at build; RB is a multiple of ROWS, so r0 is
     # provably 8-aligned (pl.multiple_of carries the proof to Mosaic)
@@ -213,13 +221,19 @@ def _kernel(ay_ref, ax_ref, bands_ref, wv_ref, wh_ref, s00, s01, s10, s11,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def remap_banded(padded: jax.Array, bm: BandedRemap, *,
                  interpret: bool = False) -> jax.Array:
-    """Apply a channelized remap to the PADDED source (B, Hp, Wp) f32
-    (edge padding done by the caller, as in ops.rectify.remap)."""
+    """Apply a channelized remap to the PADDED source (B, Hp, Wp), f32
+    or uint8 (edge padding done by the caller, as in ops.rectify.remap).
+    uint8 sources keep the mosaic DMA at 1 byte/px (converted in VMEM);
+    output is always f32 and bit-identical between the two dtypes."""
     B, Hp, Wp = padded.shape
     CV, H8, W128 = bm.wv.shape
     CH = bm.wh.shape[0]
     nbr, nbc = H8 // ROWS, W128 // LANE
     RB = -(-(CV + ROWS) // ROWS) * ROWS + ROWS
+    if padded.dtype == jnp.uint8:
+        # u8 tiles are (32, 128): the mosaic block's sublane dim must be
+        # a multiple of 32
+        RB = -(-RB // 32) * 32
     # top/left pre-pad matches build_banded's +ROWS/+LANE anchor shift;
     # trailing slack so the mosaic's +1 blocks and the 3-lane-block roll
     # window always exist

@@ -322,8 +322,9 @@ def vsweep_down_t(C_T: jax.Array, shifts: Tuple[int, ...],
     )(_pens_arr(pens), C_T)
 
 
-def _vup_wta_kernel(pens_ref, c_ref, sh_ref, sd_ref, disp_ref, *carries,
+def _vup_wta_kernel(pens_ref, c_ref, sh_ref, sd_ref, disp_ref, *scr,
                     shifts, D, Wp, RB, subpixel, uniq):
+    carries, dscr = scr[:-1], scr[-1]
     # pens_ref: (n_dirs + 1, 2) SMEM — per-direction (P1, P2) plus a final
     # (uniqueness_ratio, 0) row, all runtime scalars (live-reconfigurable)
     ur = pens_ref[len(shifts), 0]
@@ -347,8 +348,14 @@ def _vup_wta_kernel(pens_ref, c_ref, sh_ref, sd_ref, disp_ref, *carries,
             S = S + jnp.minimum(L, CLAMP)
 
         diota = jax.lax.broadcasted_iota(jnp.int32, (D, Wp), 0)
-        m = jnp.min(S, axis=0, keepdims=True)                            # (1,Wp)
-        db = jnp.min(jnp.where(S == m, diota, D), axis=0, keepdims=True)
+        # packed argmin: S is integer-valued (sums of clamped int16
+        # partials, < 2^18) so S*64 + d is exact in f32 and ONE
+        # cross-sublane min yields both the winner and its index
+        # (lexicographic => first-minimum, same tie rule as before)
+        enc = jnp.min(S * 64.0 + diota.astype(jnp.float32), axis=0,
+                      keepdims=True)
+        m = jnp.floor(enc / 64.0)                                        # (1,Wp)
+        db = (enc - m * 64.0).astype(jnp.int32)
         valid = (m < 9999.0) & (cmin < U8_SENTINEL)
         if uniq:
             # the margin VALUE is a runtime scalar (live-tunable with no
@@ -374,7 +381,11 @@ def _vup_wta_kernel(pens_ref, c_ref, sh_ref, sd_ref, disp_ref, *carries,
             off = jnp.clip(off, -0.5, 0.5)
             interior = (db > 0) & (db < D - 1)
             disp = disp + jnp.where(interior, off, 0.0)
-        disp_ref[0, r] = jnp.where(valid, disp, NODATA)
+        # stage rows in VMEM scratch; one full-tile block write at the
+        # end (a per-row single-sublane HBM write is a read-modify-write
+        # per (8,128) tile)
+        dscr[pl.ds(r, 1)] = jnp.where(valid, disp, NODATA)
+    disp_ref[0] = dscr[:]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -399,19 +410,21 @@ def vsweep_up_wta_t(C_T: jax.Array, S_hT: jax.Array, S_down: jax.Array,
                     jnp.float32(0.0)])[None]])
     spec = pl.BlockSpec((1, RB, D, Wp), lambda b, i: (b, nb - 1 - i, 0, 0),
                         memory_space=pltpu.VMEM)
-    # (B, Hp, 1, Wp) keeps the last-two block dims tile-legal
-    disp_spec = pl.BlockSpec((1, RB, 1, Wp), lambda b, i: (b, nb - 1 - i, 0, 0),
+    # 3D output, (RB, Wp) blocks: a (1, RB, 1, Wp) 4D output pads the
+    # size-1 sublane dim to the 8-row tile — 8x write amplification
+    # (~1 ms at flagship shape) for nothing
+    disp_spec = pl.BlockSpec((1, RB, Wp), lambda b, i: (b, nb - 1 - i, 0),
                              memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(B, nb),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec, spec, spec],
         out_specs=disp_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hp, 1, Wp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((D, Wp), jnp.float32) for _ in shifts],
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((D, Wp), jnp.float32) for _ in shifts]
+        + [pltpu.VMEM((RB, Wp), jnp.float32)],
         interpret=interpret,
     )(pp, C_T, S_hT, S_down)
-    return out[:, :, 0, :]
 
 
 # ---------------------------------------------------------------------------
@@ -470,6 +483,67 @@ def census_sgm_wta_t(clw: jax.Array, crw: jax.Array, D: int, *,
     return disp, C
 
 
+def _right_wta_kernel(cA, cB, out_ref, win_ref, *, D, WC, TH, bpm, W_real):
+    j = pl.program_id(2)
+    win_ref[:WC] = cA[0]
+    win_ref[WC:] = cB[0]
+    best = jnp.full((WC, TH), 255, jnp.int32)
+    bestk = jnp.zeros((WC, TH), jnp.int32)
+    for k in range(D):
+        # C_R[xr, k] = C[xr + bpm + k, k]; the window rows were pre-padded
+        # by -bpm so block j starts at source row j*WC + bpm
+        plane = win_ref[pl.ds(k, WC), k, :].astype(jnp.int32)
+        better = plane < best
+        best = jnp.where(better, plane, best)
+        bestk = jnp.where(better, k, bestk)
+    xr = j * WC + jax.lax.broadcasted_iota(jnp.int32, (WC, TH), 0)
+    xl = xr + bpm + bestk
+    ok = (best < U8_SENTINEL) & (xl >= 0) & (xl < W_real)
+    enc = jnp.where(ok, bpm + bestk, 32767)
+    out_ref[0] = enc.astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("bpm", "W_real", "interpret"))
+def right_wta_from_C_t_pallas(C: jax.Array, bpm: int, W_real: int,
+                              *, interpret: bool = False):
+    """Pallas right-anchored WTA: one pass over C instead of the XLA
+    D-plane shift loop (which re-materializes a shifted 160 MB plane per
+    disparity inside the fused program — measured ~4x the cost of this
+    kernel at the flagship shape). Exact same semantics as
+    :func:`right_disparity_from_C_t` (first-minimum argmin, 255
+    sentinel, in-image gate); tests + tpu_parity assert equality.
+    """
+    B, Wp, D, Hp = C.shape
+    TH = 128
+    WC = 128
+    lo = -bpm
+    assert lo >= 0 and lo <= WC, f"bpm {bpm} out of banded range"
+    length = -(-(lo + Wp + D) // WC) * WC + WC
+    Cp = jnp.pad(C, ((0, 0), (lo, length - lo - Wp), (0, 0), (0, 0)),
+                 constant_values=U8_SENTINEL)
+    kern = functools.partial(_right_wta_kernel, D=D, WC=WC, TH=TH,
+                             bpm=bpm, W_real=W_real)
+    blkA = pl.BlockSpec((1, WC, D, TH), lambda b, i, j: (b, j, 0, i),
+                        memory_space=pltpu.VMEM)
+    blkB = pl.BlockSpec((1, WC, D, TH), lambda b, i, j: (b, j + 1, 0, i),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, WC, TH), lambda b, i, j: (b, j, i),
+                            memory_space=pltpu.VMEM)
+    enc = pl.pallas_call(
+        kern,
+        grid=(B, Hp // TH, Wp // WC),
+        in_specs=[blkA, blkB],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Wp, Hp), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((2 * WC, D, TH), jnp.uint8)],
+        interpret=interpret,
+    )(Cp, Cp)
+    encT = jnp.transpose(enc, (0, 2, 1))
+    valid_r = encT != 32767
+    d_r = jnp.where(valid_r, encT, 0).astype(jnp.float32)
+    return d_r, valid_r
+
+
 def right_disparity_from_C_t(C: jax.Array, bpm: int, W_real: int):
     """True backmatching DSI: right-anchored WTA from the existing cost
     volume, no second match (the engine's "Compute Backmatching",
@@ -487,7 +561,14 @@ def right_disparity_from_C_t(C: jax.Array, bpm: int, W_real: int):
     best = jnp.full((B, Wp, Hp), 255, jnp.int32)
     bestk = jnp.zeros((B, Wp, Hp), jnp.int32)
     if D <= 64:
-        # unrolled static shifts fuse into one pass over C
+        # unrolled static shifts, reduced as a LEXICOGRAPHIC min of
+        # (cost << 8 | k): a pure jnp.minimum tree over 32 shifted
+        # planes is one elementwise fusion for XLA even inside the big
+        # fused pipeline program, where the two-accumulator
+        # (best, bestk) where-chain was observed to schedule ~4x worse.
+        # Ties resolve to the smallest k — identical first-minimum
+        # semantics (k < 256 fits the low byte).
+        packed = []
         for k in range(D):
             s = bpm + k
             plane = C[:, :, k, :].astype(jnp.int32)
@@ -497,9 +578,12 @@ def right_disparity_from_C_t(C: jax.Array, bpm: int, W_real: int):
             elif s < 0:
                 plane = jnp.pad(plane[:, :s, :], ((0, 0), (-s, 0), (0, 0)),
                                 constant_values=255)
-            better = plane < best
-            best = jnp.where(better, plane, best)
-            bestk = jnp.where(better, k, bestk)
+            packed.append((plane << 8) | k)
+        import functools as _ft
+
+        enc = _ft.reduce(jnp.minimum, packed)
+        best = enc >> 8
+        bestk = jnp.where(best < 255, enc & 255, 0)
     else:
         # rolled loop keeps the HLO small for wide DSIs; the x-shift
         # becomes a dynamic slice of a once-padded volume

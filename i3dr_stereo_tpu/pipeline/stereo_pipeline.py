@@ -163,11 +163,22 @@ class StereoPipeline:
             # (and this runtime's remote-compile transport)
             cfg = dataclasses.replace(static_cfg, **dyn["m"])
             depth_min, depth_max = dyn["depth_min"], dyn["depth_max"]
-            l = to_mono_f32(left)
-            r = to_mono_f32(right)
+
+            def mono_for_remap(x):
+                # mono uint8 rides into the banded remap AS uint8 (1/4
+                # the mosaic DMA, identical output values); color or
+                # float inputs take the luma conversion first
+                if x.dtype == jnp.uint8 and not (x.ndim == 3
+                                                 and x.shape[-1] == 3):
+                    return x
+                return to_mono_f32(x)
+
             if has_maps:
-                l = remap(l, lmap)
-                r = remap(r, rmap)
+                l = remap(mono_for_remap(left), lmap)
+                r = remap(mono_for_remap(right), rmap)
+            else:
+                l = to_mono_f32(left)
+                r = to_mono_f32(right)
             res: MatchResult = impl(l, r, cfg, st=static_cfg)
             disp, valid = res.disparity, res.valid
 

@@ -96,6 +96,12 @@ def main():
         "levels_2": dict(cfg=cfg.replace(max_pyramid_level=2)),
         "levels_3": dict(cfg=cfg.replace(max_pyramid_level=3)),
     }
+    import os
+
+    only = os.environ.get("PROF_VARIANTS")
+    if only:
+        variants = {k: v for k, v in variants.items()
+                    if k in only.split(",")}
     for name, v in variants.items():
         p = pipe(cfg=v.get("cfg", cfg), **v.get("kw", {}))
         dt = time_pipe(p, L, R)

@@ -1,0 +1,155 @@
+"""Roofline/MFU accounting for every stage row in BENCH_ALL (verdict #2).
+
+For each measured stage of the flagship pipeline this script models the
+HBM traffic (bytes read + written, from shapes/dtypes — VMEM-resident
+reuse not counted) and the arithmetic work, then relates the measured
+time to the v5e hardware ceilings:
+
+    HBM   ~819 GB/s            (the usual bound for these kernels)
+    VPU   ~3.9 Tflop/s fp32    (8x128 lanes x 4 ALUs x ~0.94 GHz)
+    MXU   ~197 Tflop/s bf16    (unused here: no matmuls in the pipeline)
+
+``pct_hbm_roofline`` = modeled-bytes-time / measured-time: 100% means
+the kernel moves its bytes at full HBM bandwidth (cannot be faster
+without moving fewer bytes); low numbers mean latency/compute/layout
+overheads dominate and name the headroom. Rows where measured time is
+BELOW the bytes model are flagged ``timer_artifact`` (scan-differencing
+resolution) rather than reported as >100%.
+
+Usage: python roofline.py [BENCH_ALL_r05.json] [BENCH_ROOFLINE_r05.json]
+Reads the stage rows produced by `BENCH_CONFIG=stages python bench.py`.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+HBM_GBPS = 819.0
+VPU_TFLOPS = 3.9
+
+# flagship level-0 geometry (bench_stages)
+H, W = 2048, 2448
+Hp, Wp = 2048, 2560
+D = 32
+NW = 3                    # 9x9 census -> 3 uint32 word planes
+MB = 1e6
+
+IMG = Hp * Wp * 4         # padded f32 image
+CEN = NW * Hp * Wp * 4    # census word planes
+C_U8 = Wp * D * Hp        # cost volume uint8
+S_I16 = 2 * C_U8          # path-sum volume int16
+DISP = Hp * Wp * 4
+
+# bytes models: (read, written, flops, note)
+MODELS = {
+    "censusT_9x9": (
+        IMG, CEN, 81 * Hp * Wp,
+        "windowed compares fuse in VMEM; traffic = image in, words out"),
+    "block_shift_warp": (
+        IMG + Hp * Wp * 4, IMG, 2 * Hp * Wp,
+        "banded gather: aligned block loads + roll, no scalar gathers"),
+    "fwd_t": (
+        CEN + 2 * CEN, C_U8 + S_I16, (81 + 8) * D * Hp * Wp,
+        "census XOR+popcount + SGM recurrence fused; right words read "
+        "twice (2x2 window mosaic)"),
+    "rev_t": (
+        C_U8 + S_I16, S_I16, 8 * D * Hp * Wp,
+        "reverse sweep + fwd sum"),
+    "transpose_C_u8": (C_U8, C_U8, 0, "pure relayout"),
+    "transpose_Sh_i16": (S_I16, S_I16, 0, "pure relayout"),
+    "vdown_t_1dir": (C_U8, S_I16, 8 * D * Hp * Wp, "top-down sweep"),
+    "vup_wta_t_1dir": (
+        C_U8 + S_I16 + S_I16, DISP, (8 + 24) * D * Hp * Wp,
+        "bottom-up sweep + 4-dir sum + WTA: argmin, uniqueness and "
+        "parabolic-subpixel cross-sublane reductions dominate"),
+    "true_backmatch_wta": (
+        C_U8, Hp * Wp * 2, 2 * D * Hp * Wp,
+        "right-anchored WTA, one pass over C (Pallas)"),
+    "speckle_ds2": (
+        DISP // 1 + DISP // 4, DISP // 4 + DISP, 40 * Hp * Wp // 4,
+        "label-propagation fixpoint at ds=2; iteration count is "
+        "data-dependent (systolic mass-drain, ~10-20 sweeps)"),
+    "median3x3": (DISP, DISP, 19 * Hp * Wp, "9-element sorting network"),
+    "median3x3_masked": (2 * DISP, DISP, 30 * Hp * Wp,
+                         "masked variant (valid plane read too)"),
+    "rectify_banded_cubic": (
+        32 * Hp * Wp * 4 + 24 * Hp * Wp * 4 + 4 * IMG, DISP,
+        (6 * 12 + 6) * Hp * Wp,
+        "channel-weight planes (CV=32 + CH=24 f32) dominate traffic; "
+        "mosaic window read ~4x the source (2x2 aligned blocks)"),
+    "pyramid_resizes": (
+        2 * IMG * (1 + 0.25 + 0.0625), IMG * (0.25 + 0.0625 + 1.3),
+        4 * Hp * Wp, "pair-sum downsamples + nearest upsamples"),
+}
+
+
+def main(bench_path: str = "BENCH_ALL_r05.json",
+         out_path: str = "BENCH_ROOFLINE_r05.json") -> None:
+    stage_ms = {}
+    for line in open(bench_path):
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        m = d.get("metric", "")
+        if m.startswith("stage_") and m.endswith("_ms"):
+            stage_ms[m[len("stage_"):-len("_ms")]] = d["value"]
+
+    rows = []
+    for name, ms in stage_ms.items():
+        if name not in MODELS:
+            continue
+        rd, wr, flops, note = MODELS[name]
+        gb = (rd + wr) / 1e9
+        t_bytes_ms = gb / HBM_GBPS * 1e3
+        t_flops_ms = flops / (VPU_TFLOPS * 1e12) * 1e3
+        row = {
+            "stage": name,
+            "measured_ms": ms,
+            "bytes_read_mb": round(rd / MB, 1),
+            "bytes_written_mb": round(wr / MB, 1),
+            "flops_g": round(flops / 1e9, 3),
+            "hbm_model_ms": round(t_bytes_ms, 3),
+            "vpu_model_ms": round(t_flops_ms, 3),
+            "note": note,
+        }
+        if ms <= 0 or ms < 0.8 * t_bytes_ms:
+            row["pct_hbm_roofline"] = None
+            row["flag"] = "timer_artifact"
+            row["flag_why"] = ("measured below the bytes floor — scan-"
+                              "differencing resolution, not a real time")
+        else:
+            row["achieved_gbps"] = round(gb / (ms / 1e3), 1)
+            row["pct_hbm_roofline"] = round(100 * t_bytes_ms / ms, 1)
+            row["binding_resource"] = (
+                "HBM" if t_bytes_ms > t_flops_ms and
+                row["pct_hbm_roofline"] > 60 else
+                "VPU/latency" if t_flops_ms >= t_bytes_ms else
+                "overhead (layout/retiming)")
+        rows.append(row)
+
+    ranked = sorted([r for r in rows if r.get("pct_hbm_roofline")],
+                    key=lambda r: r["pct_hbm_roofline"])
+    doc = {
+        "hardware": {"chip": "TPU v5e (1 chip)", "hbm_gbps": HBM_GBPS,
+                     "vpu_tflops_fp32": VPU_TFLOPS,
+                     "mxu_tflops_bf16": 197.0,
+                     "mxu_note": "unused — no matmuls in this pipeline; "
+                                 "all kernels are VPU/HBM work"},
+        "method": "bytes modeled from shapes/dtypes (HBM traffic only; "
+                  "VMEM reuse excluded); pct = bytes-model time / "
+                  "measured time",
+        "rows": rows,
+        "furthest_from_roofline_top3": [
+            {"stage": r["stage"], "pct_hbm_roofline": r["pct_hbm_roofline"],
+             "why": r["note"]} for r in ranked[:3]],
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"rows": len(rows),
+                      "furthest": doc["furthest_from_roofline_top3"]}))
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:3])

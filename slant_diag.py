@@ -1,0 +1,59 @@
+"""Density attribution on the slanted full-res accuracy row.
+
+Round-4 verdict weak #6: the slanted row passes its median gate but
+ships 39% holes. This script runs the SAME scene/config as
+accuracy_bench.slanted_2448 with one validity filter disabled at a
+time and reports each filter's kill rate, plus rows with the engine's
+Gauss interpolator / WLS fill enabled (quick.param:111-117) to show the
+recoverable fraction. Run on the TPU: python slant_diag.py
+"""
+import json
+
+from bench import _enable_compile_cache
+
+_enable_compile_cache()
+
+import numpy as np  # noqa: E402
+
+from i3dr_stereo_tpu.config.params import ALGORITHM_DEFAULTS, Algorithm  # noqa: E402
+from i3dr_stereo_tpu.io.synthetic import slanted_scene  # noqa: E402
+from i3dr_stereo_tpu.matchers.registry import create_matcher  # noqa: E402
+
+H, W = 2048, 2448
+
+
+def run(cfg, sc):
+    res = create_matcher(cfg).match(sc.left, sc.right)
+    ours, ov = np.asarray(res.disparity), np.asarray(res.valid)
+    sel = ov & sc.valid
+    err = np.abs(ours - sc.disparity)
+    e = err[sel]
+    return {
+        "density": round(float(sel.mean()), 3),
+        "median_px": round(float(np.median(e)), 4) if e.size else None,
+        "bad1_pct": round(float((e > 1.0).mean() * 100), 3) if e.size else None,
+    }
+
+
+def main():
+    d_near = min(180.0, W / 13.6)
+    sc = slanted_scene(H, W, d_near=d_near, d_far=20.0, seed=2)
+    base = ALGORITHM_DEFAULTS[Algorithm.I3DRSGM].replace(
+        disparity_range=256, max_pyramid_level=4,
+        speckle_size=100, speckle_downsample=2, median_filter=True)
+    variants = {
+        "full(gated)": base,
+        "no_backmatch": base.replace(backmatch_distance=-1.0),
+        "no_speckle": base.replace(speckle_size=0),
+        "backmatch_3.0": base.replace(backmatch_distance=3.0),
+        "gauss_interp": base.replace(interpolate_missing=True),
+        "wls_interp": base.replace(interp=True),
+    }
+    out = {}
+    for name, cfg in variants.items():
+        out[name] = run(cfg, sc)
+        print(json.dumps({"variant": name, **out[name]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

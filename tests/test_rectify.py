@@ -147,6 +147,21 @@ def test_cpu_default_skips_banded_build():
     assert m.banded is None
 
 
+def test_banded_uint8_source_bit_identical():
+    """uint8 sources ride the banded kernel's mosaic DMA as 1 byte/px
+    and convert in VMEM — output must be IDENTICAL to feeding the same
+    values as f32 (u8 -> f32 is exact)."""
+    cam = _distorted_cam()
+    img = np.clip(_checker(240, 320), 0, 255).astype(np.uint8)
+    m = make_rectify_map(cam, interpolation="cubic", banded=True)
+    out_u8 = np.asarray(remap(img, m, backend="banded_interpret"))
+    out_f32 = np.asarray(remap(img.astype(np.float32), m,
+                               backend="banded_interpret"))
+    np.testing.assert_array_equal(out_u8, out_f32)
+    out_g = np.asarray(remap(img, m, backend="gather"))
+    np.testing.assert_allclose(out_u8, out_g, atol=1e-3)
+
+
 def test_banded_build_rejects_wild_maps():
     """A non-smooth map (the generic-warp use of remap) must fall back
     to the gather path instead of mis-channelizing."""
