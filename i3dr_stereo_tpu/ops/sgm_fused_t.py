@@ -348,14 +348,13 @@ def _vup_wta_kernel(pens_ref, c_ref, sh_ref, sd_ref, disp_ref, *scr,
             S = S + jnp.minimum(L, CLAMP)
 
         diota = jax.lax.broadcasted_iota(jnp.int32, (D, Wp), 0)
-        # packed argmin: S is integer-valued (sums of clamped int16
-        # partials, < 2^18) so S*64 + d is exact in f32 and ONE
-        # cross-sublane min yields both the winner and its index
-        # (lexicographic => first-minimum, same tie rule as before)
-        enc = jnp.min(S * 64.0 + diota.astype(jnp.float32), axis=0,
-                      keepdims=True)
-        m = jnp.floor(enc / 64.0)                                        # (1,Wp)
-        db = (enc - m * 64.0).astype(jnp.int32)
+        # NOTE: a packed S*64+d single-reduction argmin is NOT valid
+        # here — S is fractional (sh/sd are int16 but the up-direction
+        # partials carry the engine profiles' fractional penalties,
+        # quick.param's /1000-scaled P1/P2), so the index bits cannot
+        # ride below the cost. Two reductions, exact for any S.
+        m = jnp.min(S, axis=0, keepdims=True)                            # (1,Wp)
+        db = jnp.min(jnp.where(S == m, diota, D), axis=0, keepdims=True)
         valid = (m < 9999.0) & (cmin < U8_SENTINEL)
         if uniq:
             # the margin VALUE is a runtime scalar (live-tunable with no

@@ -17,7 +17,7 @@ import numpy as np  # noqa: E402
 
 from i3dr_stereo_tpu.config.params import ALGORITHM_DEFAULTS, Algorithm  # noqa: E402
 from i3dr_stereo_tpu.io.synthetic import slanted_scene  # noqa: E402
-from i3dr_stereo_tpu.matchers.registry import create_matcher  # noqa: E402
+from i3dr_stereo_tpu.matchers import create_matcher  # noqa: E402
 
 H, W = 2048, 2448
 

@@ -128,3 +128,34 @@ def test_right_wta_pallas_matches_xla():
         np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
         np.testing.assert_array_equal(np.asarray(d0)[np.asarray(v0)],
                                       np.asarray(d1)[np.asarray(v1)])
+
+
+def test_full_wta_fractional_penalties():
+    """WTA parity with FRACTIONAL penalties (the engine .param profiles'
+    /1000-scaled P1/P2, config/profile.py) — regression guard for the
+    round-5 packed-argmin bug, which was exact only for integer path
+    sums and silently mis-indexed the winner once penalties carried
+    fractions (slanted-scene density collapsed 0.61 -> 0.28)."""
+    H, W, D, bpm = 24, 40, 8, 0
+    Lj, Rj = _pair(H, W, seed=3)
+    cl = census_transform(Lj, 5, 5)
+    cr = census_transform(Rj, 5, 5)
+    Cref, _ = census_cost_volume(cl, cr, bpm, D)
+    Sref = sgm_aggregate(Cref, 0.6, 8.3, DIRECTIONS_4)
+    dref, vref = map(np.asarray, wta_disparity(Sref, 0, uniqueness_ratio=0.0,
+                                               subpixel=True))
+    clT, crT = _transposed_words(Lj, Rj, 128, 128)
+    disp, _ = census_sgm_wta_t(clT, crT, D, bpm=bpm, W_real=W, H_real=H,
+                               p1=0.6, p2=8.3, directions=4,
+                               interpret=True)
+    d = np.asarray(disp)[:, :H, :W]
+    v = d > -1e8
+    np.testing.assert_array_equal(v, vref)
+    both = v & vref
+    # the kernels store horizontal path sums as int16 (memory-lean), so
+    # fractional penalties truncate there and subpixel offsets differ at
+    # the 0.1-px level from the all-f32 reference; the WINNING index must
+    # still agree (an index bug shows up as >= 1 px errors en masse)
+    diff = np.abs(d[both] - dref[both])
+    assert (diff > 0.55).mean() < 0.005, (diff > 0.55).mean()
+    assert np.median(diff) < 0.1
