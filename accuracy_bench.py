@@ -156,9 +156,34 @@ def slanted_2448(H: int = 2048, W: int = 2448) -> dict:
     return row
 
 
+def slanted_2448_gauss(H: int = 2048, W: int = 2448) -> dict:
+    """The slanted row with the ENGINE's hole filling enabled
+    ("Interpolator Mode = Gauss", quick.param:111-117) — the
+    reference profile runs with the interpolator on, so this is the
+    faithful operating point; the row above (interpolator off) is kept
+    for round-over-round comparability. Round-4 verdict weak #6 asked
+    for density >= 0.8 with median still < 0.25 px; density
+    attribution per filter is in SLANT_DENSITY_r05.json (slant_diag.py)."""
+    d_near = min(180.0, W / 13.6)
+    sc = slanted_scene(H, W, d_near=d_near, d_far=20.0, seed=2)
+    cfg = ALGORITHM_DEFAULTS[Algorithm.I3DRSGM].replace(
+        disparity_range=256, max_pyramid_level=4,
+        speckle_size=100, speckle_downsample=2, median_filter=True,
+        interpolate_missing=True)
+    res = create_matcher(cfg).match(sc.left, sc.right)
+    ours, ov = np.asarray(res.disparity), np.asarray(res.valid)
+    sel = ov & sc.valid
+    row = {"config": f"i3drsgm_pyramid_{W}x{H}_slanted_subpix_gauss"}
+    row.update(_metrics(np.abs(ours - sc.disparity), sel))
+    row["gate_lt"] = 0.25
+    row["density_gate_ge"] = 0.8
+    row["pass"] = row["median_px"] < 0.25 and row["density"] >= 0.8
+    return row
+
+
 def main(out_path: str = "ACCURACY_r04.json") -> None:
     rows = [sgbm_1280(), i3drsgm_2448(), i3drsgm_hard_2448(),
-            slanted_2448()]
+            slanted_2448(), slanted_2448_gauss()]
     doc = {"gate": "<0.25 px median (BASELINE.md); bad-pixel rates and "
                    "density reported per row",
            "all_pass": all(r["pass"] for r in rows), "rows": rows}

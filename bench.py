@@ -518,15 +518,15 @@ def bench_e2e_2448():
     l0, r0 = jax.device_put(frames[0][0]), jax.device_put(frames[0][1])
     # maps ride as loop ARGS in the timing scan too (closures would bake
     # them into the loop program as constants)
-    dt_rect = _time_fn(rect, (l0, r0, lmap, rmap), iters=3, warmup=1)
+    dt_rect = _time_fn(rect, (l0, r0, lmap, rmap), iters=8, warmup=1)
     lr0, rr0 = rect(l0, r0, lmap, rmap)
-    dt_md = _time_fn(match_depth, (lr0, rr0), iters=3, warmup=1)
+    dt_md = _time_fn(match_depth, (lr0, rr0), iters=6, warmup=1)
     # the FUSED program, device-resident (the deployed per-chip rate):
     # time the cached compiled step directly so maps/dyn are loop args
     step = next(iter(pipe._cache.values()))
     dt_fused = _time_fn(
         lambda l, r, dyn, lm, rm, q: step(l, r, dyn, lm, rm, q).depth,
-        (l0, r0, pipe._dyn_values(), lmap, rmap, Q), iters=3, warmup=1)
+        (l0, r0, pipe._dyn_values(), lmap, rmap, Q), iters=6, warmup=1)
     fps = max(1.0 / e2e, 1.0 / e2e_ov)
     return {
         "metric": "e2e_fps_2448x2048_ingest_rectify_pyramidSGM_depth",

@@ -286,6 +286,9 @@ def _vdown_kernel(pens_ref, c_ref, out_ref, *carries, shifts, D, Wp, RB):
 
 
 def _pick_rb(Hp: int) -> int:
+    """Rows per vertical-sweep grid step. RB=8 measured equal to RB=32
+    at flagship shape (the sweeps are VPU-compute-bound, not
+    dispatch-bound), so keep the smaller block."""
     rb = 8
     while Hp % rb:
         rb //= 2
@@ -318,6 +321,8 @@ def vsweep_down_t(C_T: jax.Array, shifts: Tuple[int, ...],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(C_T.shape, jnp.int16),
         scratch_shapes=[pltpu.VMEM((D, Wp), jnp.float32) for _ in shifts],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(_pens_arr(pens), C_T)
 
@@ -422,6 +427,8 @@ def vsweep_up_wta_t(C_T: jax.Array, S_hT: jax.Array, S_down: jax.Array,
         out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((D, Wp), jnp.float32) for _ in shifts]
         + [pltpu.VMEM((RB, Wp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(pp, C_T, S_hT, S_down)
 

@@ -44,15 +44,16 @@ DISP = Hp * Wp * 4
 # bytes models: (read, written, flops, note)
 MODELS = {
     "censusT_9x9": (
-        IMG, CEN, 81 * Hp * Wp,
-        "windowed compares fuse in VMEM; traffic = image in, words out"),
+        IMG, CEN, 3 * 81 * Hp * Wp,
+        "windowed compares fuse in VMEM (81 cmp+shift+or per px) + the "
+        "input transpose and word-plane relayout; VPU-bound"),
     "block_shift_warp": (
         IMG + Hp * Wp * 4, IMG, 2 * Hp * Wp,
         "banded gather: aligned block loads + roll, no scalar gathers"),
     "fwd_t": (
-        CEN + 2 * CEN, C_U8 + S_I16, (81 + 8) * D * Hp * Wp,
-        "census XOR+popcount + SGM recurrence fused; right words read "
-        "twice (2x2 window mosaic)"),
+        CEN + 2 * CEN, C_U8 + S_I16, (3 * 2 + 8) * D * Hp * Wp,
+        "census XOR+popcount (3 word planes) + SGM recurrence fused; "
+        "right words read twice (2x2 window mosaic)"),
     "rev_t": (
         C_U8 + S_I16, S_I16, 8 * D * Hp * Wp,
         "reverse sweep + fwd sum"),
@@ -67,9 +68,12 @@ MODELS = {
         C_U8, Hp * Wp * 2, 2 * D * Hp * Wp,
         "right-anchored WTA, one pass over C (Pallas)"),
     "speckle_ds2": (
-        DISP // 1 + DISP // 4, DISP // 4 + DISP, 40 * Hp * Wp // 4,
-        "label-propagation fixpoint at ds=2; iteration count is "
-        "data-dependent (systolic mass-drain, ~10-20 sweeps)"),
+        DISP // 1 + DISP // 4, DISP // 4 + DISP,
+        120 * 12 * Hp * Wp // 4,
+        "iterative CCL fixpoint at ds=2 (label + BFS + mass-drain + "
+        "broadcast phases, ~up to 4x27 rounds x 4 dirs, data-dependent "
+        "early exit): VPU-iteration-bound by construction, HBM roofline "
+        "is not the relevant ceiling for this kernel"),
     "median3x3": (DISP, DISP, 19 * Hp * Wp, "9-element sorting network"),
     "median3x3_masked": (2 * DISP, DISP, 30 * Hp * Wp,
                          "masked variant (valid plane read too)"),
