@@ -730,3 +730,88 @@ class GigECameraEmulator:
         self._thread.join(timeout=2)
         self.sock.close()
         self._out.close()
+
+
+class GigEStereoSource:
+    """Two GigE Vision cameras as ONE stereo source for the capture
+    graph — the reference's two-tiscamera capture launch
+    (launch/stereo_capture.launch:14-23) collapsed into a `.pairs()`
+    provider any :func:`~i3dr_stereo_tpu.bridge.launch.launch_capture`
+    graph accepts.
+
+    Each camera streams through its own :class:`GigECameraSource`
+    (full bring-up: CCP, heartbeat, SCPS, PACKETRESEND; Python or
+    native reassembly via ``backend``); frames are paired by timestamp
+    within ``pair_tolerance_s`` — the hardware-triggered rig's frames
+    carry near-equal stamps, and unmatched older frames are dropped
+    (drop-and-continue, like the reference's ApproximateTime sync).
+    """
+
+    def __init__(self, left_address: Tuple[str, int],
+                 right_address: Tuple[str, int], *, width: int = 2448,
+                 height: int = 2048, fps: float = 5.0,
+                 packet_size: int = 2996, timeout: float = 1.0,
+                 backend: str = "python", on_timeout: str = "stop",
+                 pair_tolerance_s: float = 0.02):
+        self.left = GigECameraSource(left_address, width=width,
+                                     height=height, fps=fps,
+                                     packet_size=packet_size,
+                                     timeout=timeout, backend=backend,
+                                     on_timeout=on_timeout)
+        self.right = GigECameraSource(right_address, width=width,
+                                      height=height, fps=fps,
+                                      packet_size=packet_size,
+                                      timeout=timeout, backend=backend,
+                                      on_timeout=on_timeout)
+        self.tol = pair_tolerance_s
+        self.dropped_unpaired = 0
+
+    def pairs(self) -> Iterator[Tuple[Stamped, Stamped]]:
+        """Yield timestamp-matched (left, right) frames. Each camera's
+        blocking frame iterator runs in its own thread; the pairing
+        loop matches stamps within tolerance and drops the older
+        frame of any unmatched pair."""
+        import queue
+
+        qs = [queue.Queue(maxsize=8), queue.Queue(maxsize=8)]
+
+        def drain(src, q):
+            for f in src.frames():
+                q.put(f)
+            q.put(None)                     # end-of-stream marker
+
+        threads = [threading.Thread(target=drain, args=(s, q), daemon=True)
+                   for s, q in zip((self.left, self.right), qs)]
+        for t in threads:
+            t.start()
+        cur: list = [None, None]
+        done = [False, False]
+        while True:
+            for i in (0, 1):
+                while cur[i] is None and not done[i]:
+                    item = qs[i].get()
+                    if item is None:
+                        done[i] = True
+                    else:
+                        cur[i] = item
+            if cur[0] is None or cur[1] is None:
+                return
+            dt = cur[0].stamp - cur[1].stamp
+            if abs(dt) <= self.tol:
+                yield cur[0], cur[1]
+                cur = [None, None]
+            elif dt < 0:                    # left older: drop it
+                cur[0] = None
+                self.dropped_unpaired += 1
+            else:
+                cur[1] = None
+                self.dropped_unpaired += 1
+
+    def set_property(self, name: str, value) -> bool:
+        ok_l = self.left.set_property(name, value)
+        ok_r = self.right.set_property(name, value)
+        return ok_l and ok_r
+
+    def close(self) -> None:
+        self.left.close()
+        self.right.close()

@@ -387,3 +387,56 @@ def test_native_rx_stale_blocks_age_out():
     finally:
         emu.close()
         rx.close()
+
+
+def test_gige_stereo_source_drives_capture_graph():
+    """The full capture seam: two emulated GigE cameras -> bring-up ->
+    paired GVSP streams -> GigEStereoSource.pairs() -> the capture
+    graph -> fused pipeline -> disparity (the reference's two-camera
+    stereo_capture.launch collapsed onto the protocol driver)."""
+    from i3dr_stereo_tpu.bridge.launch import launch_stereo_camera, run_source
+    from i3dr_stereo_tpu.config.params import ALGORITHM_DEFAULTS, Algorithm
+    from i3dr_stereo_tpu.core.camera import StereoRig
+    from i3dr_stereo_tpu.io.gige import GigEStereoSource
+
+    H, W, shift = 48, 64, 4
+    emul = GigECameraEmulator(serial="SL", enforce_control=True,
+                              max_packet=1500)
+    emur = GigECameraEmulator(serial="SR", enforce_control=True,
+                              max_packet=1500)
+    try:
+        src = GigEStereoSource(emul.address, emur.address, width=W,
+                               height=H, timeout=0.4)
+        rng = np.random.default_rng(0)
+        base = rng.uniform(40, 215, (H, W + shift))
+        base = 0.25 * (np.roll(base, 1, 1) + np.roll(base, -1, 1)
+                       + np.roll(base, 1, 0) + np.roll(base, -1, 0))
+        left = base[:, :W].astype(np.uint8)
+        right = base[:, shift:].astype(np.uint8)
+        # a leading unpaired left frame: must be dropped, not block
+        emul.send_frame(left, block_id=9, timestamp_ns=int(5e7))
+        for i in range(3):
+            ts = int((i + 1) * 1e8)                 # 0.1 s apart
+            emul.send_frame(left, block_id=i + 1, timestamp_ns=ts)
+            emur.send_frame(right, block_id=i + 1, timestamp_ns=ts + 1000)
+
+        rig = StereoRig.synthetic(W, H, fx=100.0)
+        cfg = ALGORITHM_DEFAULTS[Algorithm.SGBM].replace(
+            disparity_range=16, speckle_size=0)
+        lg = launch_stereo_camera(rig, stereo_algorithm=Algorithm.SGBM,
+                                  source=src, rectify_inputs=False,
+                                  config=cfg, warmup=False)
+        got = []
+        lg.graph.subscribe("/stereo/disparity",
+                           lambda s, d: got.append((s, d)))
+        n = run_source(lg)
+        assert n == 3 and len(got) == 3
+        assert src.dropped_unpaired >= 1
+        d = got[0][1]["disparity"]
+        v = np.asarray(got[0][1]["valid"])
+        med = float(np.median(np.asarray(d)[v])) if v.any() else None
+        assert med is not None and abs(med - shift) < 1.0, med
+        src.close()
+    finally:
+        emul.close()
+        emur.close()
