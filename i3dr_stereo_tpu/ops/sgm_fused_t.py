@@ -489,67 +489,6 @@ def census_sgm_wta_t(clw: jax.Array, crw: jax.Array, D: int, *,
     return disp, C
 
 
-def _right_wta_kernel(cA, cB, out_ref, win_ref, *, D, WC, TH, bpm, W_real):
-    j = pl.program_id(2)
-    win_ref[:WC] = cA[0]
-    win_ref[WC:] = cB[0]
-    best = jnp.full((WC, TH), 255, jnp.int32)
-    bestk = jnp.zeros((WC, TH), jnp.int32)
-    for k in range(D):
-        # C_R[xr, k] = C[xr + bpm + k, k]; the window rows were pre-padded
-        # by -bpm so block j starts at source row j*WC + bpm
-        plane = win_ref[pl.ds(k, WC), k, :].astype(jnp.int32)
-        better = plane < best
-        best = jnp.where(better, plane, best)
-        bestk = jnp.where(better, k, bestk)
-    xr = j * WC + jax.lax.broadcasted_iota(jnp.int32, (WC, TH), 0)
-    xl = xr + bpm + bestk
-    ok = (best < U8_SENTINEL) & (xl >= 0) & (xl < W_real)
-    enc = jnp.where(ok, bpm + bestk, 32767)
-    out_ref[0] = enc.astype(jnp.int16)
-
-
-@functools.partial(jax.jit, static_argnames=("bpm", "W_real", "interpret"))
-def right_wta_from_C_t_pallas(C: jax.Array, bpm: int, W_real: int,
-                              *, interpret: bool = False):
-    """Pallas right-anchored WTA: one pass over C instead of the XLA
-    D-plane shift loop (which re-materializes a shifted 160 MB plane per
-    disparity inside the fused program — measured ~4x the cost of this
-    kernel at the flagship shape). Exact same semantics as
-    :func:`right_disparity_from_C_t` (first-minimum argmin, 255
-    sentinel, in-image gate); tests + tpu_parity assert equality.
-    """
-    B, Wp, D, Hp = C.shape
-    TH = 128
-    WC = 128
-    lo = -bpm
-    assert lo >= 0 and lo <= WC, f"bpm {bpm} out of banded range"
-    length = -(-(lo + Wp + D) // WC) * WC + WC
-    Cp = jnp.pad(C, ((0, 0), (lo, length - lo - Wp), (0, 0), (0, 0)),
-                 constant_values=U8_SENTINEL)
-    kern = functools.partial(_right_wta_kernel, D=D, WC=WC, TH=TH,
-                             bpm=bpm, W_real=W_real)
-    blkA = pl.BlockSpec((1, WC, D, TH), lambda b, i, j: (b, j, 0, i),
-                        memory_space=pltpu.VMEM)
-    blkB = pl.BlockSpec((1, WC, D, TH), lambda b, i, j: (b, j + 1, 0, i),
-                        memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, WC, TH), lambda b, i, j: (b, j, i),
-                            memory_space=pltpu.VMEM)
-    enc = pl.pallas_call(
-        kern,
-        grid=(B, Hp // TH, Wp // WC),
-        in_specs=[blkA, blkB],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Wp, Hp), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((2 * WC, D, TH), jnp.uint8)],
-        interpret=interpret,
-    )(Cp, Cp)
-    encT = jnp.transpose(enc, (0, 2, 1))
-    valid_r = encT != 32767
-    d_r = jnp.where(valid_r, encT, 0).astype(jnp.float32)
-    return d_r, valid_r
-
-
 def right_disparity_from_C_t(C: jax.Array, bpm: int, W_real: int):
     """True backmatching DSI: right-anchored WTA from the existing cost
     volume, no second match (the engine's "Compute Backmatching",

@@ -106,30 +106,6 @@ def test_batch_and_per_direction_penalties():
     np.testing.assert_allclose(d[v], dref[v], atol=5e-3)
 
 
-def test_right_wta_pallas_matches_xla():
-    """The one-pass Pallas right-anchored WTA == the XLA D-plane shift
-    loop, bit for bit (first-minimum argmin, 255 sentinel, in-image
-    gate), across window bases and including the zero-cost padded
-    columns the fwd kernel emits."""
-    from i3dr_stereo_tpu.ops.sgm_fused_t import (
-        right_disparity_from_C_t,
-        right_wta_from_C_t_pallas,
-    )
-
-    rng = np.random.default_rng(5)
-    B, Wp, D, Hp = 2, 256, 16, 128
-    for bpm, W_real in ((-8, 250), (0, 256), (-16, 200)):
-        C = rng.integers(0, 255, (B, Wp, D, Hp), dtype=np.uint8)
-        # zero-cost padded columns like fused_census_fwd_t produces
-        C[:, W_real:, :, :] = 0
-        d0, v0 = right_disparity_from_C_t(jnp.asarray(C), bpm, W_real)
-        d1, v1 = right_wta_from_C_t_pallas(jnp.asarray(C), bpm, W_real,
-                                           interpret=True)
-        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
-        np.testing.assert_array_equal(np.asarray(d0)[np.asarray(v0)],
-                                      np.asarray(d1)[np.asarray(v1)])
-
-
 def test_full_wta_fractional_penalties():
     """WTA parity with FRACTIONAL penalties (the engine .param profiles'
     /1000-scaled P1/P2, config/profile.py) — regression guard for the
