@@ -139,6 +139,10 @@ struct Rx {
   void try_finish(Block& b) {
     if (!b.have_leader || !b.have_trailer || b.invalid || b.slot < 0)
       return;
+    if (b.trailer_id < 2) {             // no payloads: nothing to deliver
+      release(b, false);
+      return;
+    }
     uint32_t n_payload = b.trailer_id - 1;
     if (b.n_received < n_payload) return;
     for (uint32_t p = 1; p <= n_payload; p++)
@@ -223,8 +227,10 @@ struct Rx {
           }
         }
       } else if (fmt == FMT_TRAILER) {
-        b->have_trailer = true;
-        b->trailer_id = pid;
+        if (pid >= 1 && pid < kMaxPkts) {   // bound lens[] / bitmap use
+          b->have_trailer = true;
+          b->trailer_id = pid;
+        }
       }
       try_finish(*b);
     }
