@@ -85,6 +85,7 @@ class StereoPipeline:
         from collections import OrderedDict
         self._cache: OrderedDict = OrderedDict()
         self._dyn_cache = None
+        self._dyn_key = None
 
     _CACHE_MAX = 8
 
@@ -130,8 +131,14 @@ class StereoPipeline:
         """Device-resident dyn scalars, re-uploaded only when a config
         value actually changes — NOT per frame (a per-frame host->device
         put of 9 scalars serializes against compute on transfer-bound
-        links; round-4 verdict weak #3)."""
-        if getattr(self, "_dyn_cache", None) is not None:
+        links; round-4 verdict weak #3). The cache validates against the
+        CURRENT values rather than relying on update_config invalidation:
+        the reconfigure servers assign ``pipeline.config`` directly
+        (bridge/nodes.py, bridge/reconfigure.py) and must never read
+        stale scalars."""
+        key = tuple(float(getattr(self.config, f)) for f in self.DYN_FIELDS)
+        key += (float(self.cloud.depth_min), float(self.cloud.depth_max))
+        if self._dyn_cache is not None and self._dyn_key == key:
             return self._dyn_cache
         import jax
 
@@ -140,6 +147,7 @@ class StereoPipeline:
         self._dyn_cache = jax.device_put(
             {"m": m, "depth_min": np.float32(self.cloud.depth_min),
              "depth_max": np.float32(self.cloud.depth_max)})
+        self._dyn_key = key
         return self._dyn_cache
 
     # -- the fused step --------------------------------------------------------

@@ -155,3 +155,34 @@ def test_frame_batcher_pads():
     out = b.flush()
     assert out.left.shape == (4, 4, 6)
     assert out.count == 3
+
+
+def test_dyn_scalars_follow_direct_config_assignment():
+    """The device-cached dyn scalars must track DIRECT assignments to
+    pipeline.config/cloud (the reconfigure servers' path,
+    bridge/reconfigure.py bind_pipeline) — not only update_config().
+    Regression guard for the round-5 device-side dyn cache."""
+    import dataclasses
+
+    import numpy as np
+
+    from i3dr_stereo_tpu.config.params import ALGORITHM_DEFAULTS, Algorithm
+    from i3dr_stereo_tpu.core.camera import StereoRig
+    from i3dr_stereo_tpu.pipeline.stereo_pipeline import StereoPipeline
+
+    rig = StereoRig.synthetic(64, 48, fx=100.0)
+    cfg = ALGORITHM_DEFAULTS[Algorithm.SGBM].replace(disparity_range=16,
+                                                     speckle_size=0)
+    pipe = StereoPipeline(rig=rig, config=cfg, compute_points=False,
+                          compute_depth=False, rectify_inputs=False)
+    v0 = pipe._dyn_values()
+    assert float(v0["m"]["p2"]) == cfg.p2
+    # the reconfigure servers assign directly
+    pipe.config = pipe.config.replace(p2=1234.0)
+    pipe.cloud = dataclasses.replace(pipe.cloud, depth_max=7.5)
+    v1 = pipe._dyn_values()
+    assert float(v1["m"]["p2"]) == 1234.0
+    assert float(v1["depth_max"]) == 7.5
+    # unchanged values reuse the same device buffers (no re-upload)
+    v2 = pipe._dyn_values()
+    assert v2 is v1
