@@ -68,15 +68,19 @@ def _normals(verts: jax.Array, valid: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _downsample_depth(d: jax.Array) -> jax.Array:
-    """2x2 min-pool-of-valid downsample: averaging across a depth edge
-    invents phantom surfaces, so take the mean of VALID entries only."""
+    """2x2 mean-of-valid downsample: averaging across a depth edge
+    invents phantom surfaces, so take the mean of VALID entries only.
+    Two single-axis pair-sums, not a joint strided reduction (the
+    latter compiles poorly on TPU — see ops/speckle.py)."""
     H, W = d.shape
     H2, W2 = H // 2 * 2, W // 2 * 2
-    x = d[:H2, :W2].reshape(H2 // 2, 2, W2 // 2, 2)
+    x = d[:H2, :W2]
     v = (x > 0).astype(d.dtype)
-    s = (x * v).sum((1, 3))
-    c = v.sum((1, 3))
-    return jnp.where(c > 0, s / jnp.maximum(c, 1), 0.0)
+    xs = (x * v).reshape(H2, W2 // 2, 2).sum(-1)
+    xs = xs.reshape(H2 // 2, 2, W2 // 2).sum(1)
+    c = v.reshape(H2, W2 // 2, 2).sum(-1)
+    c = c.reshape(H2 // 2, 2, W2 // 2).sum(1)
+    return jnp.where(c > 0, xs / jnp.maximum(c, 1), 0.0)
 
 
 def _so3_hat(w):
