@@ -126,23 +126,18 @@ class NativeGVSPReceiver:
                 "invalidated": int(out[6])}
 
     def _service(self) -> None:
-        if self.resend is None:
-            # still drive the poll so TTL/budget eviction happens
-            bid = ctypes.c_uint32(0)
-            runs = (ctypes.c_uint32 * (2 * self.MAX_RUNS))()
-            self._lib.gvsp_rx_poll_missing(self._h, self._service_interval,
-                                           ctypes.byref(bid), runs,
-                                           0 if self.resend is None else
-                                           self.MAX_RUNS)
-            return
+        """Drive the engine's missing-run poll: fires PACKETRESEND for
+        stalled blocks through the GVCP callback; with no resend path
+        the poll still runs (max_runs=0) so TTL eviction happens."""
         bid = ctypes.c_uint32(0)
         runs = (ctypes.c_uint32 * (2 * self.MAX_RUNS))()
+        max_runs = 0 if self.resend is None else self.MAX_RUNS
         n = self._lib.gvsp_rx_poll_missing(self._h, self._service_interval,
-                                           ctypes.byref(bid), runs,
-                                           self.MAX_RUNS)
-        for i in range(max(n, 0)):
-            self.resend(int(bid.value), int(runs[2 * i]),
-                        int(runs[2 * i + 1]))
+                                           ctypes.byref(bid), runs, max_runs)
+        if self.resend is not None:
+            for i in range(max(n, 0)):
+                self.resend(int(bid.value), int(runs[2 * i]),
+                            int(runs[2 * i + 1]))
 
     def frames(self) -> Iterator[Stamped]:
         stamp = ctypes.c_double(0)
