@@ -181,7 +181,7 @@ def slanted_2448_gauss(H: int = 2048, W: int = 2448) -> dict:
     return row
 
 
-def main(out_path: str = "ACCURACY_r04.json") -> None:
+def main(out_path: str = "ACCURACY_r05.json") -> None:
     rows = [sgbm_1280(), i3drsgm_2448(), i3drsgm_hard_2448(),
             slanted_2448(), slanted_2448_gauss()]
     doc = {"gate": "<0.25 px median (BASELINE.md); bad-pixel rates and "

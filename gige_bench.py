@@ -98,7 +98,6 @@ def run_camera(serial: str, fps: float, duration_s: float, results: dict,
 
     got = [0]
     bad = [0]
-    t_cpu0 = time.thread_time() if hasattr(time, "thread_time") else 0.0
 
     def receiver():
         for fr in src.frames():

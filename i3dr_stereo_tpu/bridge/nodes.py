@@ -167,10 +167,12 @@ class RectifyNode(Node):
                  name="rectify", remaps=None):
         super().__init__(graph, name, namespace, remaps or {})
         from i3dr_stereo_tpu.ops.rectify import make_rectify_map, remap
-        import jax
 
         self._maps = (make_rectify_map(rig.left), make_rectify_map(rig.right))
-        self._remap = jax.jit(remap)
+        # remap is a Python dispatcher over per-backend jitted impls —
+        # wrapping it in jax.jit would bake the backend choice into the
+        # first trace (the exact stale-cache bug ops/rectify.py fixed)
+        self._remap = remap
         self._last = {}
         self.subscribe("left/image_raw", lambda s, d: self._on(0, "left", s, d))
         self.subscribe("right/image_raw", lambda s, d: self._on(1, "right", s, d))

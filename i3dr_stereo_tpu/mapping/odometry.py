@@ -109,8 +109,7 @@ def _se3_exp(xi: jax.Array) -> jax.Array:
     return T
 
 
-def _icp_level(Vp, Np, okp, Vc, okc, K, T, iters: int,
-               dist_thresh, normal_thresh):
+def _icp_level(Vp, Np, okp, Vc, okc, K, T, iters: int, dist_thresh):
     """Gauss-Newton point-to-plane iterations at one pyramid level.
 
     Vp/Np/okp: previous-frame vertex/normal/valid maps. Vc/okc: current
@@ -134,10 +133,8 @@ def _icp_level(Vp, Np, okp, Vc, okc, K, T, iters: int,
 
         d = p - q
         r = jnp.sum(d * n, axis=-1)                    # point-to-plane residual
-        # current-frame normal rotated into prev frame for the angle gate
         close = jnp.sum(d * d, axis=-1) < dist_thresh * dist_thresh
         w = okc & inb & hit_ok & close
-        # reject grazing associations: ray direction vs surface normal
         wgt = w.astype(jnp.float32)
 
         cx = jnp.cross(p, n)                           # J rotation block
@@ -151,13 +148,12 @@ def _icp_level(Vp, Np, okp, Vc, okc, K, T, iters: int,
         nw = jnp.maximum(jnp.sum(wgt), 1.0)
         rmse = jnp.sqrt(jnp.sum(wgt * r * r) / nw)
         frac = nw / (H * W)
-    del normal_thresh
     return T, rmse, frac
 
 
 @partial(jax.jit, static_argnames=("levels", "iters"))
 def _track(depth_prev, depth_cur, K, T_init,
-           levels: int = 3, iters: Tuple[int, ...] = (10, 7, 5),
+           levels: int = 3, iters: Tuple[int, ...] = (4, 7, 10),
            dist_thresh=0.5):
     """Coarse-to-fine projective ICP. Returns (T_pc, rmse, inlier_frac)."""
     # build depth pyramids (level 0 = input resolution)
@@ -180,15 +176,19 @@ def _track(depth_prev, depth_cur, K, T_init,
         Vp = _backproject(dp, Kl)
         Vc = _backproject(dc, Kl)
         Np, okp = _normals(Vp, vp)
+        # iters is indexed by pyramid level (0 = finest): the classic
+        # coarse-to-fine budget runs MORE Gauss-Newton steps at the
+        # cheap coarse levels (4x less work per step per level) and a
+        # few polish steps at full resolution
         T, rmse, frac = _icp_level(Vp, Np, okp & vp, Vc, vc, Kl, T,
                                    iters[min(li, len(iters) - 1)],
-                                   dist_thresh, 0.0)
+                                   dist_thresh)
     return T, rmse, frac
 
 
 def estimate_motion(depth_prev, depth_cur, K, *,
                     T_init: Optional[np.ndarray] = None,
-                    levels: int = 3, iters: Tuple[int, ...] = (10, 7, 5),
+                    levels: int = 3, iters: Tuple[int, ...] = (4, 7, 10),
                     dist_thresh: float = 0.5):
     """Estimate T_pc mapping current-frame points into the previous
     camera frame, by coarse-to-fine projective point-to-plane ICP.
@@ -218,7 +218,7 @@ class DepthOdometry:
 
     K: np.ndarray
     levels: int = 3
-    iters: Tuple[int, ...] = (10, 7, 5)
+    iters: Tuple[int, ...] = (4, 7, 10)
     dist_thresh: float = 0.5
 
     def __post_init__(self):

@@ -47,7 +47,8 @@ def _load():
     lib = ctypes.CDLL(build_native())
     lib.gvsp_rx_create.restype = ctypes.c_void_p
     lib.gvsp_rx_create.argtypes = [ctypes.POINTER(ctypes.c_uint16),
-                                   ctypes.c_int, ctypes.c_int, ctypes.c_int]
+                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_double, ctypes.c_int]
     lib.gvsp_rx_poll_frame.restype = ctypes.c_int
     lib.gvsp_rx_poll_frame.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
@@ -104,9 +105,15 @@ class NativeGVSPReceiver:
             slots = max(4, min(64, (64 << 20) // max(max_frame_bytes, 1)))
         port = ctypes.c_uint16(0)
         self._h = self._lib.gvsp_rx_create(ctypes.byref(port), recv_buf,
-                                           max_frame_bytes, slots)
+                                           max_frame_bytes, slots,
+                                           float(block_ttl),
+                                           int(max_resend_rounds))
         if not self._h:
             raise OSError("gvsp_rx_create failed")
+        # every engine call races close() from other threads (pairs()
+        # drain threads vs the operator's close): serialize them so the
+        # C++ object is never used after gvsp_rx_close frees it
+        self._call_lock = threading.Lock()
         self.port = int(port.value)
         self.timeout = timeout
         self.on_timeout = on_timeout
@@ -119,7 +126,12 @@ class NativeGVSPReceiver:
     @property
     def stats(self) -> dict:
         out = (ctypes.c_uint64 * 7)()
-        self._lib.gvsp_rx_stats(self._h, out)
+        with self._call_lock:
+            if self._closed:
+                return {"packets": 0, "frames": 0, "dropped": 0,
+                        "resend_requests": 0, "recovered": 0, "pending": 0,
+                        "invalidated": 0}
+            self._lib.gvsp_rx_stats(self._h, out)
         return {"packets": int(out[0]), "frames": int(out[1]),
                 "dropped": int(out[2]), "resend_requests": int(out[3]),
                 "recovered": int(out[4]), "pending": int(out[5]),
@@ -132,12 +144,21 @@ class NativeGVSPReceiver:
         bid = ctypes.c_uint32(0)
         runs = (ctypes.c_uint32 * (2 * self.MAX_RUNS))()
         max_runs = 0 if self.resend is None else self.MAX_RUNS
-        n = self._lib.gvsp_rx_poll_missing(self._h, self._service_interval,
-                                           ctypes.byref(bid), runs, max_runs)
-        if self.resend is not None:
-            for i in range(max(n, 0)):
-                self.resend(int(bid.value), int(runs[2 * i]),
-                            int(runs[2 * i + 1]))
+        # service EVERY stalled block this tick, not just the first
+        # (the engine returns one block per call)
+        for _ in range(32):
+            with self._call_lock:
+                if self._closed:
+                    return
+                n = self._lib.gvsp_rx_poll_missing(
+                    self._h, self._service_interval, ctypes.byref(bid),
+                    runs, max_runs)
+            if n <= 0:
+                return
+            if self.resend is not None:
+                for i in range(n):
+                    self.resend(int(bid.value), int(runs[2 * i]),
+                                int(runs[2 * i + 1]))
 
     def frames(self) -> Iterator[Stamped]:
         stamp = ctypes.c_double(0)
@@ -148,10 +169,13 @@ class NativeGVSPReceiver:
         quiet_since = time.monotonic()
         last_service = 0.0
         while not self._closed:
-            r = self._lib.gvsp_rx_poll_frame(
-                self._h, ctypes.byref(stamp), ctypes.byref(seq), self._buf,
-                self.max_frame_bytes, ctypes.byref(w), ctypes.byref(h),
-                ctypes.byref(bpp))
+            with self._call_lock:
+                if self._closed:
+                    return
+                r = self._lib.gvsp_rx_poll_frame(
+                    self._h, ctypes.byref(stamp), ctypes.byref(seq),
+                    self._buf, self.max_frame_bytes, ctypes.byref(w),
+                    ctypes.byref(h), ctypes.byref(bpp))
             now = time.monotonic()
             if now - last_service > self._service_interval:
                 last_service = now
@@ -165,7 +189,10 @@ class NativeGVSPReceiver:
                 yield Stamped(stamp.value, img, seq=int(seq.value))
                 continue
             # no frame ready: stop on a genuinely quiet link
-            idle = self._lib.gvsp_rx_last_rx(self._h)
+            with self._call_lock:
+                if self._closed:
+                    return
+                idle = self._lib.gvsp_rx_last_rx(self._h)
             if idle >= 0:
                 quiet = min(idle, now - quiet_since)
             else:
@@ -176,6 +203,7 @@ class NativeGVSPReceiver:
             time.sleep(0.002)
 
     def close(self) -> None:
-        if not self._closed:
-            self._closed = True
-            self._lib.gvsp_rx_close(self._h)
+        with self._call_lock:
+            if not self._closed:
+                self._closed = True
+                self._lib.gvsp_rx_close(self._h)

@@ -242,8 +242,10 @@ struct Rx {
 extern "C" {
 
 void* gvsp_rx_create(uint16_t* port_out, int recv_buf, int max_frame_bytes,
-                     int nslots) {
+                     int nslots, double block_ttl, int max_resend_rounds) {
   Rx* rx = new Rx();
+  rx->block_ttl = block_ttl > 0 ? block_ttl : 2.0;
+  rx->max_resend_rounds = max_resend_rounds >= 0 ? max_resend_rounds : 4;
   rx->fd = socket(AF_INET, SOCK_DGRAM, 0);
   if (rx->fd < 0) { delete rx; return nullptr; }
   setsockopt(rx->fd, SOL_SOCKET, SO_RCVBUF, &recv_buf, sizeof(recv_buf));
@@ -312,6 +314,12 @@ int gvsp_rx_poll_missing(void* h, double min_idle_s, uint32_t* block_id,
     bool stalled = (now - b.last_update >= min_idle_s) ||
                    (b.have_trailer && b.trailer_id > 0);
     if (!stalled || now - b.last_request < min_idle_s) continue;
+    if (max_runs <= 0) {
+      // no resend path: a stalled block can only be dropped (what the
+      // Python receiver does when resend is None)
+      rx->release(b, false);
+      continue;
+    }
     if (b.resend_rounds >= rx->max_resend_rounds) {
       rx->release(b, false);
       continue;

@@ -200,9 +200,22 @@ def remap(image: jax.Array, rmap: RectifyMap, *,
     ``backend`` overrides the env var for this call.
     """
     b = backend or _remap_backend()
-    if rmap.banded is not None and b.startswith("banded"):
-        return _remap_banded_impl(image, rmap,
-                                  interpret=b == "banded_interpret")
+    if b.startswith("banded"):
+        if rmap.banded is not None:
+            return _remap_banded_impl(image, rmap,
+                                      interpret=b == "banded_interpret")
+        # explicit banded request on a map built without banded data
+        # (built under a gather-resolving backend, or a map too wild to
+        # channelize): falling back silently would hide a ~100x perf
+        # cliff at full res — say so once
+        import warnings
+
+        warnings.warn(
+            "remap: banded backend requested but this RectifyMap has no "
+            "channelized data (built with banded=False/on a non-TPU "
+            "default, or the map failed to channelize); using the "
+            "gather path. Rebuild with make_rectify_map(..., banded=True).",
+            RuntimeWarning, stacklevel=2)
     return _remap_gather_impl(image, rmap)
 
 
