@@ -220,14 +220,19 @@ def _kernel_slow(d, v, conn, ri, ci, out_ref, *, CORE, HALO, S, tiled):
 
     def mass_round(t, carry):
         m, cnt, tail, f = carry
-        inc = jnp.zeros((WH, WW), jnp.int32)
-        finc = jnp.zeros((WH, WW), jnp.int32)
+        # pack (mass, contested-flag) into ONE plane per direction:
+        # pack = m*8 + f. At most 3 children drain into a parent, and
+        # f is 0/1, so sum(f) <= 3 < 8 stays below the mass bits —
+        # inc = acc // 8 and (acc & 7) > 0 recover the exact unpacked
+        # results with HALF the rolls per round (4 instead of 8)
+        pack = m * 8 + f
+        acc = jnp.zeros((WH, WW), jnp.int32)
         for k, (dy, dx) in enumerate(_DIRS):
             # child q sends to direction k; it lands at q + (dy, dx) of
             # the OPPOSITE roll (parent is one step against (dy, dx))
-            inc = inc + _roll2(jnp.where(pd == k, m, 0), -dy, -dx)
-            finc = jnp.maximum(finc, _roll2(jnp.where(pd == k, f, 0),
-                                            -dy, -dx))
+            acc = acc + _roll2(jnp.where(pd == k, pack, 0), -dy, -dx)
+        inc = acc // 8
+        finc = jnp.minimum(acc - inc * 8, 1)
         cnt = cnt + jnp.where(root, inc, 0)
         tail = tail + jnp.where(root & (t >= S), inc, 0)
         m = jnp.where(root, 0, inc)
