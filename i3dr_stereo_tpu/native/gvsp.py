@@ -140,7 +140,8 @@ class NativeGVSPReceiver:
     def _service(self) -> None:
         """Drive the engine's missing-run poll: fires PACKETRESEND for
         stalled blocks through the GVCP callback; with no resend path
-        the poll still runs (max_runs=0) so TTL eviction happens."""
+        (max_runs=0) the engine drops stalled blocks immediately, like
+        the Python receiver with resend=None."""
         bid = ctypes.c_uint32(0)
         runs = (ctypes.c_uint32 * (2 * self.MAX_RUNS))()
         max_runs = 0 if self.resend is None else self.MAX_RUNS
