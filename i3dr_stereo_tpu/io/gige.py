@@ -758,13 +758,20 @@ class GigEStereoSource:
                                      packet_size=packet_size,
                                      timeout=timeout, backend=backend,
                                      on_timeout=on_timeout)
-        self.right = GigECameraSource(right_address, width=width,
-                                      height=height, fps=fps,
-                                      packet_size=packet_size,
-                                      timeout=timeout, backend=backend,
-                                      on_timeout=on_timeout)
+        try:
+            self.right = GigECameraSource(right_address, width=width,
+                                          height=height, fps=fps,
+                                          packet_size=packet_size,
+                                          timeout=timeout, backend=backend,
+                                          on_timeout=on_timeout)
+        except Exception:
+            # never leak a brought-up, streaming left camera (control
+            # held + heartbeat thread) when the right one fails
+            self.left.close()
+            raise
         self.tol = pair_tolerance_s
         self.dropped_unpaired = 0
+        self._stop = threading.Event()
 
     def pairs(self) -> Iterator[Tuple[Stamped, Stamped]]:
         """Yield timestamp-matched (left, right) frames. Each camera's
@@ -776,9 +783,22 @@ class GigEStereoSource:
         qs = [queue.Queue(maxsize=8), queue.Queue(maxsize=8)]
 
         def drain(src, q):
+            # bounded put with a stop check: an abandoned pairs()
+            # generator (consumer broke out / close() called) must not
+            # leave this thread blocked on a full queue forever
+            def put(item):
+                while not self._stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
             for f in src.frames():
-                q.put(f)
-            q.put(None)                     # end-of-stream marker
+                if not put(f):
+                    return
+            put(None)                       # end-of-stream marker
 
         threads = [threading.Thread(target=drain, args=(s, q), daemon=True)
                    for s, q in zip((self.left, self.right), qs)]
@@ -813,5 +833,6 @@ class GigEStereoSource:
         return ok_l and ok_r
 
     def close(self) -> None:
+        self._stop.set()                    # unblock drain threads
         self.left.close()
         self.right.close()

@@ -145,8 +145,9 @@ class NativeGVSPReceiver:
         bid = ctypes.c_uint32(0)
         runs = (ctypes.c_uint32 * (2 * self.MAX_RUNS))()
         max_runs = 0 if self.resend is None else self.MAX_RUNS
-        # service EVERY stalled block this tick, not just the first
-        # (the engine returns one block per call)
+        # drain stalled blocks this tick (the engine returns one block
+        # per call); the 32-call cap is a safety valve — with a larger
+        # small-frame pool the tail waits for the next 50 ms tick
         for _ in range(32):
             with self._call_lock:
                 if self._closed:

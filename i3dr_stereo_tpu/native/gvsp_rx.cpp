@@ -227,7 +227,9 @@ struct Rx {
           }
         }
       } else if (fmt == FMT_TRAILER) {
-        if (pid >= 1 && pid < kMaxPkts) {   // bound lens[] / bitmap use
+        if (pid >= 1 && pid <= kMaxPkts) {  // trailer id may be kMaxPkts:
+          // payload pids are < kMaxPkts, so lens[pid-1]/seen(p<=pid-1)
+          // stay in range
           b->have_trailer = true;
           b->trailer_id = pid;
         }

@@ -221,8 +221,10 @@ def _kernel_slow(d, v, conn, ri, ci, out_ref, *, CORE, HALO, S, tiled):
     def mass_round(t, carry):
         m, cnt, tail, f = carry
         # pack (mass, contested-flag) into ONE plane per direction:
-        # pack = m*8 + f. At most 3 children drain into a parent, and
-        # f is 0/1, so sum(f) <= 3 < 8 stays below the mass bits —
+        # pack = m*8 + f. At most 4 children drain into a parent (a
+        # ROOT has no parent edge, so all 4 neighbours can be its
+        # children), and f is 0/1, so sum(f) <= 4 < 8 stays below the
+        # mass bits — the base must stay > 4 —
         # inc = acc // 8 and (acc & 7) > 0 recover the exact unpacked
         # results with HALF the rolls per round (4 instead of 8)
         pack = m * 8 + f
