@@ -39,7 +39,7 @@ image with a zero carry — exactly the unpadded edge condition.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
