@@ -145,10 +145,29 @@ def cmd_live(args) -> int:
     from i3dr_stereo_tpu.io.sources import SyntheticStereoSource
     from i3dr_stereo_tpu.viz.viewer import StereoViewer
 
-    src = SyntheticStereoSource(width=args.width, height=args.height,
-                                n_frames=args.frames)
-    rig = StereoRig.synthetic(args.width, args.height, fx=args.fx,
-                              baseline_m=args.baseline)
+    if args.gige:
+        # real hardware: two GigE Vision cameras, full protocol bring-up
+        # (the reference's stereo_capture.launch cameras); address form
+        # HOST:PORT,HOST:PORT. The left camera's calibration comes from
+        # --calib YAMLs when given, else a synthetic rig of the same size.
+        from i3dr_stereo_tpu.io.gige import GigEStereoSource
+
+        def addr(s):
+            host, _, port = s.partition(":")
+            return (host, int(port or 3956))
+
+        left_a, _, right_a = args.gige.partition(",")
+        src = GigEStereoSource(addr(left_a), addr(right_a),
+                               width=args.width, height=args.height,
+                               backend=args.gige_backend)
+    else:
+        src = SyntheticStereoSource(width=args.width, height=args.height,
+                                    n_frames=args.frames)
+    if args.calib:
+        rig = StereoRig.from_yaml(*args.calib)
+    else:
+        rig = StereoRig.synthetic(args.width, args.height, fx=args.fx,
+                                  baseline_m=args.baseline)
     lg = launch_stereo_camera(rig, stereo_algorithm=Algorithm[args.algorithm],
                               source=src, rectify_inputs=False)
     viewer = StereoViewer(lg.graph, "/stereo")
@@ -282,6 +301,17 @@ def main(argv=None) -> int:
     p.add_argument("--duration", type=float, default=0.0,
                    help="with --serve: loop the source and serve for this "
                         "many seconds (0 = one pass over --frames)")
+    p.add_argument("--gige", default=None, metavar="L_HOST:PORT,R_HOST:PORT",
+                   help="capture from two real GigE Vision cameras "
+                        "instead of the synthetic source (SDK-free "
+                        "GVCP/GVSP driver; port defaults to 3956)")
+    p.add_argument("--gige-backend", default="auto",
+                   choices=["auto", "python", "native"],
+                   help="GVSP reassembly backend (native = C++ engine)")
+    p.add_argument("--calib", nargs=2, default=None,
+                   metavar=("LEFT_YAML", "RIGHT_YAML"),
+                   help="ROS calibration YAMLs for the rig (default: "
+                        "synthetic ideal rig of --width/--height)")
     _add_matcher_args(p)
     p.set_defaults(fn=cmd_live)
 
