@@ -107,3 +107,27 @@ def test_sharded_full_pipeline_runs(cpu_devices):
     v = np.asarray(out["valid"]) & scenes[0].valid[None]
     err = np.abs(d - np.stack([s.disparity for s in scenes]))[v]
     assert np.median(err) < 1.0
+
+
+def test_sharded_full_pipeline_flagship_pyramid(cpu_devices):
+    """The FULL sharded pipeline step (rectify -> reshard -> halo'd
+    match -> depth) with the flagship pyramid matcher — the same
+    composition dryrun_multichip exercises, gated in CI with a quality
+    check against ground truth."""
+    rig = StereoRig.synthetic(96, 128, fx=100.0)
+    cfg = ALGORITHM_DEFAULTS[Algorithm.I3DRSGM].replace(
+        disparity_range=32, max_pyramid_level=2, speckle_size=20)
+    cloud = PointCloudConfig(depth_max=1000.0)
+    mesh = make_mesh(2, 2)
+    step = make_sharded_pipeline_step(rig, cfg, cloud, mesh, halo=16)
+    L, R, scenes = _scene_batch(2, 128, 96, max_disp=24)
+    out = step(L, R)
+    assert out["disparity"].shape == (2, 128, 96)
+    assert out["depth"].shape == (2, 128, 96)
+    d = np.asarray(out["disparity"])
+    v = np.asarray(out["valid"])
+    gt = np.stack([s.disparity for s in scenes])
+    gv = np.stack([s.valid for s in scenes])
+    sel = v & gv
+    assert sel.mean() > 0.4
+    assert np.median(np.abs(d - gt)[sel]) < 1.0
