@@ -79,6 +79,11 @@ def block_shift_gather(src: jax.Array, idx: jax.Array, q: jax.Array,
     """
     B, H, W = src.shape
     assert H % ROWS == 0
+    # the rotated 3-lane window must cover every used index:
+    # 2*radius + 127 + off < 3*LANE with off < LANE
+    assert 2 * radius + 2 * LANE - 1 < 3 * LANE, (
+        f"radius {radius} exceeds the 3-lane window (max {LANE // 2 - 1}); "
+        "widen the window before raising the clamp radius")
     Wp = (W + LANE - 1) // LANE * LANE
     # load window must fit for any clipped start: pad by radius+2 lanes both
     # sides (aligned 2*LANE reads + the anchor band)

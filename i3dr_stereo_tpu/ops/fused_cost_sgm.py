@@ -111,8 +111,12 @@ def _fused_fwd_kernel(base_ref, pp_ref, *refs, W, WC, D, NW, min_disp,
                 ham = ham + jax.lax.population_count(jnp.bitwise_xor(
                     cxs[wi][:, k:k + 1], segs[wi][:, off:off + D])
                 ).astype(jnp.int32)
-            dmax = x - base - min_disp
-            valid = lane <= dmax
+            dmax = x - base - min_disp      # source col >= 0
+            dmin = dmax - (W - 1)           # source col <= W-1 (the
+            # upper bound matters for negative bases / right-edge
+            # columns, where the reversed plane's zero padding would
+            # otherwise masquerade as a perfect match)
+            valid = (lane <= dmax) & (lane >= dmin)
             c = jnp.where(valid, ham.astype(jnp.float32), BIG)
             c_buf[:, k, :] = jnp.where(valid, jnp.minimum(ham, 254)
                                        .astype(jnp.float32), 255.0)
@@ -262,8 +266,11 @@ def _fused_bt_kernel(base_ref, pp_ref, l_ref, llo_ref, lhi_ref, r_ref, c_out,
             # doubled-and-rounded cost units so half-sample values
             # survive the uint8 volume exactly (2x pixelwise BT <= 252)
             cost = jnp.round(2.0 * jnp.minimum(dl, dr))
-            dmax = x - base - min_disp
-            valid = lane <= dmax
+            dmax = x - base - min_disp      # source col >= 0
+            dmin = dmax - (W - 1)           # source col <= W-1 (edge-
+            # replicated padding must not produce plausible BT costs
+            # for out-of-image right pixels)
+            valid = (lane <= dmax) & (lane >= dmin)
             c = jnp.where(valid, cost, BIG)
             c_buf[:, k, :] = jnp.where(valid, jnp.minimum(cost, 254.0), 255.0)
             carry = _step(carry, c, p1, p2, D)

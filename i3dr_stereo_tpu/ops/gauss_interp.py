@@ -81,7 +81,9 @@ def gauss_interpolate(disp: jax.Array, valid: jax.Array, *,
         nrays = nrays + hit.astype(jnp.float32)
 
     filled = jnp.where(wsum > 0, vsum / jnp.maximum(wsum, 1e-20), 0.0)
-    ok_fill = nrays >= max(min_elements, 1)
+    # wsum can underflow to 0 when every hit sits many sigma away —
+    # a "filled" value of 0.0 must not be marked valid
+    ok_fill = (nrays >= max(min_elements, 1)) & (wsum > 0)
     out = jnp.where(v, d, filled)
     new_valid = v | ok_fill
     if not batched:

@@ -71,6 +71,13 @@ def build_banded(by: np.ndarray, bx: np.ndarray, wy: np.ndarray,
     budget (fall back to the gather path)."""
     H, W = by.shape
     taps = wy.shape[-1]
+    # the caller (make_rectify_map) clips tap origins into the padded
+    # source; channelization silently mis-anchors if that contract is
+    # broken, so enforce it here
+    assert by.min() >= 0 and by.max() <= src_h + 2 * pad - taps, (
+        int(by.min()), int(by.max()))
+    assert bx.min() >= 0 and bx.max() <= src_w + 2 * pad - taps, (
+        int(bx.min()), int(bx.max()))
     H8 = -(-H // ROWS) * ROWS
     W128 = -(-W // LANE) * LANE
     # the kernel pre-pads the source by (ROWS, LANE) at top/left so every

@@ -68,6 +68,7 @@ def _step_t(prev, c, p1, p2, D):
 
 def _pick_wc(Wp: int, D: int) -> int:
     """W-chunk: >= D (window containment), multiple of 8, divides Wp."""
+    assert Wp % 8 == 0, f"Wp {Wp} must be a multiple of 8"
     wc = max(128, ((D + 7) // 8) * 8)
     while Wp % wc:
         wc += 8
@@ -505,6 +506,11 @@ def right_disparity_from_C_t(C: jax.Array, bpm: int, W_real: int):
     B, Wp, D, Hp = C.shape
     best = jnp.full((B, Wp, Hp), 255, jnp.int32)
     bestk = jnp.zeros((B, Wp, Hp), jnp.int32)
+    # left columns x >= W_real are PADDING with zero cost by the fwd
+    # kernel's edge semantics — they must not compete in the argmin
+    # (a pad lane would win with cost 0 and suppress a genuine
+    # in-image match over the last ~D/2 right columns)
+    xs = jnp.arange(Wp, dtype=jnp.int32)[None, :, None]
     if D <= 64:
         # unrolled static shifts, reduced as a LEXICOGRAPHIC min of
         # (cost << 8 | k): a pure jnp.minimum tree over 32 shifted
@@ -523,6 +529,7 @@ def right_disparity_from_C_t(C: jax.Array, bpm: int, W_real: int):
             elif s < 0:
                 plane = jnp.pad(plane[:, :s, :], ((0, 0), (-s, 0), (0, 0)),
                                 constant_values=255)
+            plane = jnp.where(xs + s >= W_real, 255, plane)
             packed.append((plane << 8) | k)
         import functools as _ft
 
@@ -542,13 +549,13 @@ def right_disparity_from_C_t(C: jax.Array, bpm: int, W_real: int):
                                                  keepdims=False)
             plane = jax.lax.dynamic_slice_in_dim(plane, lo + bpm + k, Wp,
                                                  axis=1).astype(jnp.int32)
+            plane = jnp.where(xs + bpm + k >= W_real, 255, plane)
             better = plane < best
             return (jnp.where(better, plane, best),
                     jnp.where(better, k, bestk))
 
         best, bestk = jax.lax.fori_loop(0, D, body, (best, bestk))
     # left column xr + bpm + k must be a real column
-    xs = jnp.arange(Wp, dtype=jnp.int32)[None, :, None]
     in_img = (xs + bpm + bestk >= 0) & (xs + bpm + bestk < W_real)
     valid_r = (best < 255) & in_img
     d_r = (bpm + bestk).astype(jnp.float32)

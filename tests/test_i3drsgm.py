@@ -262,3 +262,27 @@ def test_wide_range_dense_path_guided_fallback(monkeypatch):
     d = np.asarray(res.disparity)
     assert v.mean() > 0.5
     assert np.median(np.abs(d - sc.disparity)[v]) < 0.5
+
+
+def test_right_disparity_ignores_zero_cost_padding():
+    """The fwd kernel's padded left columns (x >= W_real) carry ZERO
+    cost by design; the right-anchored WTA must not let them win the
+    argmin (they'd suppress genuine matches over the last ~D/2 right
+    columns via the in_img gate — review finding, round 5)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from i3dr_stereo_tpu.ops.sgm_fused_t import right_disparity_from_C_t
+
+    B, Wp, D, Hp, W_real, bpm = 1, 16, 8, 8, 12, -4
+    C = np.full((B, Wp, D, Hp), 50, np.uint8)
+    C[:, W_real:, :, :] = 0              # zero-cost padding
+    C[0, 8, 2, :] = 5                    # genuine best: xr=10, k=2
+    d_r, v_r = right_disparity_from_C_t(jnp.asarray(C), bpm, W_real)
+    d_r, v_r = np.asarray(d_r), np.asarray(v_r)
+    # right col 10: candidates xl = 6..13; 12,13 are pads and must lose
+    assert v_r[0, 0, 10]
+    assert d_r[0, 0, 10] == bpm + 2
+    # at the last right col the only IN-IMAGE candidate is k=0
+    # (xl=11); the zero-cost pads at k>=1 must not beat it
+    assert v_r[0, 0, 15] and d_r[0, 0, 15] == bpm
