@@ -55,7 +55,7 @@ def main():
         print(json.dumps({"variant": name, **out[name]}), flush=True)
     doc = {
         "scene": f"slanted {W}x{H}, d 20->{min(180.0, W / 13.6):.0f} px",
-        "note": "density attribution for the hardest accuracy row: each variant disables one validity filter (or enables the engine's hole filling). Measured: the true backmatch costs ~0 density (0.606 without vs 0.610 with) while cutting bad1 3.9% -> 1.5% \u2014 it is an outlier filter, not the density hole; speckle costs ~6 points (0.672 without). The remaining ~1/3 invalidity is structural on a pure 20->180 px slant: out-of-image right columns for large disparities, window-edge clamps at the steepest gradient, and GT-invalid border pixels counted against density. The engine's own answer is its interpolator (quick.param:111-117): Gauss fill reaches density 0.926 at median 0.165 px (the new gated accuracy row slanted_subpix_gauss); WLS reaches 0.926 at 0.111 px.",
+        "note": "density attribution for the hardest accuracy row: each variant disables one validity filter (or enables the engine's hole filling). Measured: the true backmatch costs ~0 density (0.606 without vs 0.614 with) while cutting bad1 3.9% -> 1.5% \u2014 it is an outlier filter, not the density hole; speckle costs ~6 points (0.672 without). The remaining ~1/3 invalidity is structural on a pure 20->180 px slant: out-of-image right columns for large disparities, window-edge clamps at the steepest gradient, and GT-invalid border pixels counted against density. The engine's own answer is its interpolator (quick.param:111-117): Gauss fill reaches density 0.926 at median 0.165 px (the new gated accuracy row slanted_subpix_gauss); WLS reaches 0.926 at 0.111 px.",
         "variants": out,
     }
     with open("SLANT_DENSITY_r05.json", "w") as f:
